@@ -1,0 +1,255 @@
+"""Logstash conditional expressions compiled to Catalyst predicates.
+
+Reference counterparts:
+* grammar — logstash-core/lib/logstash/compiler/lscl.rb + generated
+  treetop grammar logstash-core/lib/logstash/config/grammar.rb
+  (``Condition``, ``Expression`` rules);
+* runtime — logstash-core/src/main/java/org/logstash/config/ir/compiler/
+  EventCondition.java (``EventCondition.Compiler``: eq/compare/regex/
+  in/truthy branches, expression-identity cache);
+* IR nodes — org/logstash/config/ir/expression/binary/{Eq,Neq,Gt,Gte,
+  Lt,Lte,RegexEq,In,And,Or}.java, unary/Not.java.
+
+Spark mapping (SURVEY §2.1): each conditional compiles ONCE, at plan
+time, to a native Column predicate — Catalyst codegen replaces the
+reference's runtime-generated EventCondition classes. Supported
+surface: ``== != < > <= >= =~ !~ in not in and or nand xor ! ()``,
+bare-field truthiness, string/number/list/regex literals, nested field
+refs. Compilation is cached by expression text (mirrors
+EventCondition's CACHE).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .fieldref import field_col
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(?:
+      (?P<field>(?:\[[^\[\]\"',]+\])+)          # [a][b] field ref
+    | (?P<string>'[^']*'|"[^"]*")               # quoted string
+    | (?P<regex>/(?:\\.|[^/])*/)                # /regex/
+    | (?P<number>-?\d+(?:\.\d+)?)               # number
+    | (?P<op>==|!=|<=|>=|=~|!~|<|>)             # comparison ops
+    | (?P<kw>\band\b|\bor\b|\bnand\b|\bxor\b|\bnot\ in\b|\bin\b|\btrue\b|\bfalse\b)
+    | (?P<bang>!)
+    | (?P<lparen>\()
+    | (?P<rparen>\))
+    | (?P<lbracket>\[)
+    | (?P<rbracket>\])
+    | (?P<comma>,)
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(s: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip() == "":
+                break
+            raise ValueError(f"cannot tokenize condition at: {s[pos:]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        toks.append(_Tok(kind, m.group(kind)))
+    return toks
+
+
+class _Operand:
+    """Parsed operand: a field ref, a literal, a list, or a regex."""
+
+    def __init__(self, kind: str, value):
+        self.kind = kind  # field | str | num | bool | list | regex
+        self.value = value
+
+    def col(self) -> Column:
+        if self.kind == "field":
+            return field_col(self.value)
+        return F.lit(self.value)
+
+
+class ConditionParser:
+    """Recursive-descent parser; precedence: ! > comparison > and > or."""
+
+    def __init__(self, toks: list[_Tok], df: DataFrame | None):
+        self.toks = toks
+        self.i = 0
+        self.df = df
+
+    def _peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _dtype(self, ref: str) -> str | None:
+        if self.df is None:
+            return None
+        top = ref.strip("[]").split("][")[0]
+        for f in self.df.schema.fields:
+            if f.name == top:
+                return f.dataType.simpleString()
+        return None
+
+    # ---- grammar ----
+    def parse(self) -> Column:
+        c = self._or_expr()
+        if self._peek() is not None:
+            raise ValueError(f"trailing tokens in condition at {self._peek().text!r}")
+        return c
+
+    def _or_expr(self) -> Column:
+        left = self._and_expr()
+        while (t := self._peek()) and t.kind == "kw" and t.text in ("or", "nand", "xor"):
+            op = self._next().text
+            right = self._and_expr()
+            if op == "or":
+                left = left | right
+            elif op == "nand":
+                left = ~(left & right)
+            else:  # xor — on booleans, != (EventCondition compiles likewise)
+                left = left != right
+        return left
+
+    def _and_expr(self) -> Column:
+        left = self._unary()
+        while (t := self._peek()) and t.kind == "kw" and t.text == "and":
+            self._next()
+            left = left & self._unary()
+        return left
+
+    def _unary(self) -> Column:
+        t = self._peek()
+        if t is None:
+            raise ValueError("unexpected end of condition")
+        if t.kind == "bang":
+            self._next()
+            return ~self._unary()
+        if t.kind == "lparen":
+            self._next()
+            inner = self._or_expr()
+            if not (self._peek() and self._peek().kind == "rparen"):
+                raise ValueError("missing )")
+            self._next()
+            return inner
+        return self._comparison()
+
+    def _operand(self) -> _Operand:
+        t = self._next()
+        if t.kind == "field":
+            return _Operand("field", t.text)
+        if t.kind == "string":
+            return _Operand("str", t.text[1:-1])
+        if t.kind == "number":
+            v = float(t.text) if "." in t.text else int(t.text)
+            return _Operand("num", v)
+        if t.kind == "regex":
+            return _Operand("regex", t.text[1:-1].replace("\\/", "/"))
+        if t.kind == "kw" and t.text in ("true", "false"):
+            return _Operand("bool", t.text == "true")
+        if t.kind == "lbracket":  # list literal [ 'a', 'b' ]
+            items = []
+            while True:
+                nxt = self._peek()
+                if nxt is None:
+                    raise ValueError("unterminated list literal")
+                if nxt.kind == "rbracket":
+                    self._next()
+                    break
+                if nxt.kind == "comma":
+                    self._next()
+                    continue
+                items.append(self._operand().value)
+            return _Operand("list", items)
+        raise ValueError(f"unexpected token {t.text!r}")
+
+    def _truthy(self, op: _Operand) -> Column:
+        """Bare ``if [f]``: exists and not null/false (EventCondition
+        'truthy'). Ruby truthiness: only nil and false are falsy —
+        empty string and 0 are truthy."""
+        col = op.col()
+        if op.kind == "field":
+            dt = self._dtype(op.value)
+            if dt == "boolean":
+                return col.isNotNull() & col
+            return col.isNotNull()
+        return F.lit(bool(op.value))
+
+    def _comparison(self) -> Column:
+        left = self._operand()
+        t = self._peek()
+        if t is None or t.kind not in ("op", "kw") or (
+            t.kind == "kw" and t.text not in ("in", "not in")
+        ):
+            return self._truthy(left)
+        tok = self._next()
+        if tok.kind == "kw":  # in / not in
+            right = self._operand()
+            result = self._in(left, right)
+            return ~result if tok.text == "not in" else result
+        op = tok.text
+        if op in ("=~", "!~"):
+            right = self._operand()
+            pat = right.value if right.kind in ("regex", "str") else str(right.value)
+            # Logstash =~ is a *search*, not a full match → rlike semantics match.
+            matched = left.col().rlike(pat)
+            return ~matched if op == "!~" else matched
+        right = self._operand()
+        lc, rc = left.col(), right.col()
+        # static numeric coercion: string field vs number literal
+        if left.kind == "field" and right.kind == "num" and self._dtype(left.value) == "string":
+            lc = lc.cast("double")
+        if right.kind == "field" and left.kind == "num" and self._dtype(right.value) == "string":
+            rc = rc.cast("double")
+        return {
+            "==": lambda: lc == rc,
+            "!=": lambda: lc != rc,
+            "<": lambda: lc < rc,
+            ">": lambda: lc > rc,
+            "<=": lambda: lc <= rc,
+            ">=": lambda: lc >= rc,
+        }[op]()
+
+    def _in(self, left: _Operand, right: _Operand) -> Column:
+        # value in list → isin; value in string-field → substring;
+        # value in array-field → array_contains (EventCondition.Compiler#in).
+        if right.kind == "list":
+            return left.col().isin(*right.value)
+        if right.kind == "field":
+            dt = self._dtype(right.value) or ""
+            if dt.startswith("array"):
+                return F.array_contains(right.col(), left.col())
+            return right.col().contains(left.col())
+        if right.kind == "str":
+            return F.lit(right.value).contains(left.col())
+        raise ValueError("unsupported 'in' right operand")
+
+
+_CACHE: dict[tuple[str, str | None], Column] = {}
+
+
+def compile_condition(expr: str, df: DataFrame | None = None) -> Column:
+    """Condition string → Column predicate (cached by expression text,
+    mirroring EventCondition.Compiler's CACHE)."""
+    key = (expr, str(df.schema) if df is not None else None)
+    if key not in _CACHE:
+        _CACHE[key] = ConditionParser(_tokenize(expr), df).parse()
+    return _CACHE[key]

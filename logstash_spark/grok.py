@@ -1,0 +1,260 @@
+"""Grok: named-pattern regex extraction, compiled once, applied vectorized.
+
+Reference counterparts:
+* filter — logstash-filter-grok:lib/logstash/filters/grok.rb
+  (``match``, ``break_on_match``, ``keep_empty_captures``,
+  ``tag_on_failure`` default ``["_grokparsefailure"]``, type
+  conversions ``%{NUMBER:bytes:int}``);
+* pattern library — logstash-patterns-core:patterns/legacy/grok-patterns
+  (the named patterns below are an independently written, functionally
+  equivalent subset covering the Apache/syslog families; Oniguruma
+  constructs outside Python ``re`` — possessive quantifiers, named
+  char classes — are documented unsupported, SURVEY §7 risks).
+
+Spark mapping (SURVEY §2.4): the grok expression compiles at plan time
+into ONE Python regex with named groups; execution is a vectorized
+``Series.str.extract`` over Arrow batches inside a pandas UDF that
+returns a struct of captures plus a ``_matched`` flag. Multiple
+patterns = first-match-wins: later patterns run only on rows the
+earlier ones missed. Single-capture patterns should prefer the native
+``F.regexp_extract`` lowering (``lower_single_capture``).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+GROK_FAILURE_TAG = "_grokparsefailure"
+
+# Functionally-equivalent core pattern subset (written fresh; see module
+# docstring). Keys match the public grok names so user patterns port 1:1.
+CORE_PATTERNS: dict[str, str] = {
+    "INT": r"(?:[+-]?(?:[0-9]+))",
+    "BASE10NUM": r"(?<![0-9.+-])(?:[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+))",
+    "NUMBER": r"%{BASE10NUM}",
+    "POSINT": r"\b(?:[1-9][0-9]*)\b",
+    "NONNEGINT": r"\b(?:[0-9]+)\b",
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r"(?:\"(?:\\.|[^\\\"])*\"|'(?:\\.|[^\\'])*')",
+    "QS": r"%{QUOTEDSTRING}",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "IPV4": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
+    "IP": r"%{IPV4}",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    "HTTPDUSER": r"(?:%{EMAILADDRESS}|%{USER})",
+    "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME": r"(?!<[0-9])%{HOUR}:%{MINUTE}(?::%{SECOND})(?![0-9])",
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "TIMESTAMP_ISO8601": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo(?:rmation)?|INFO(?:RMATION)?|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    "URIPROTO": r"[A-Za-z]([A-Za-z0-9+\-.]+)+",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    "COMMONAPACHELOG": (
+        r'%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} '
+        r'\[%{HTTPDATE:timestamp}\] "(?:%{WORD:verb} %{NOTSPACE:request}'
+        r'(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" '
+        r'%{NUMBER:response} (?:%{NUMBER:bytes}|-)'
+    ),
+    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
+_MAX_DEPTH = 50
+
+
+@dataclass
+class CompiledGrok:
+    regex: re.Pattern
+    # ordered mapping: output field → (regex group names to coalesce, type)
+    fields: dict[str, tuple[list[str], str]] = field(default_factory=dict)
+
+
+def _sanitize(name: str) -> str:
+    # semantic names may be [a][b] refs; flatten for struct-field safety
+    return re.sub(r"[^\w]", "_", name.strip("[]").replace("][", "_"))
+
+
+def compile_grok(
+    pattern: str, extra_patterns: dict[str, str] | None = None
+) -> CompiledGrok:
+    """Expand ``%{NAME:field:type}`` refs into one Python regex."""
+    lib = dict(CORE_PATTERNS)
+    if extra_patterns:
+        lib.update(extra_patterns)
+
+    fields: dict[str, tuple[list[str], str]] = {}
+    counter = [0]
+
+    def expand(pat: str, depth: int) -> str:
+        if depth > _MAX_DEPTH:
+            raise ValueError("grok pattern recursion too deep")
+
+        def repl(m: re.Match) -> str:
+            name, semantic, typ = m.group(1), m.group(2), m.group(3)
+            if name not in lib:
+                raise ValueError(f"unknown grok pattern %{{{name}}}")
+            inner = expand(lib[name], depth + 1)
+            if semantic:
+                out_field = _sanitize(semantic)
+                counter[0] += 1
+                gname = f"g{counter[0]}"
+                groups, old_typ = fields.get(out_field, ([], "string"))
+                groups.append(gname)
+                fields[out_field] = (groups, typ or old_typ)
+                return f"(?P<{gname}>{inner})"
+            return f"(?:{inner})"
+
+        return _GROK_REF.sub(repl, pat)
+
+    expanded = expand(pattern, 0)
+    return CompiledGrok(regex=re.compile(expanded), fields=fields)
+
+
+_PD_CAST = {"int": "Int64", "float": "Float64", "string": "object"}
+_SPARK_TYPE = {"int": "long", "float": "double", "string": "string"}
+
+
+def grok_output_schema(compiled: list[CompiledGrok]) -> str:
+    """DDL schema of the capture struct (union over patterns + _matched)."""
+    cols: dict[str, str] = {}
+    for cg in compiled:
+        for fname, (_, typ) in cg.fields.items():
+            cols.setdefault(fname, _SPARK_TYPE.get(typ, "string"))
+    parts = [f"`{n}` {t}" for n, t in cols.items()]
+    parts.append("`_matched` boolean")
+    return ", ".join(parts)
+
+
+def grok_extract_batch(
+    s: pd.Series, compiled: list[CompiledGrok], keep_empty_captures: bool = False
+) -> pd.DataFrame:
+    """First-match-wins extraction over a string Series → capture frame.
+
+    Vectorized: each pattern runs one ``str.extract`` over only the
+    rows still unmatched (break_on_match semantics).
+    """
+    all_fields: dict[str, str] = {}
+    for cg in compiled:
+        for fname, (_, typ) in cg.fields.items():
+            all_fields.setdefault(fname, typ)
+
+    out = pd.DataFrame(index=s.index)
+    for fname in all_fields:
+        out[fname] = pd.Series([None] * len(s), index=s.index, dtype="object")
+    matched = pd.Series(False, index=s.index)
+
+    todo = s.notna() & ~matched
+    for cg in compiled:
+        if not todo.any():
+            break
+        sub = s[todo].astype("string")
+        # extract: one column per regex group
+        ext = sub.str.extract(cg.regex)
+        hit = ext.notna().any(axis=1)
+        # a regex with zero capture groups can still match
+        if not cg.fields:
+            hit = sub.str.contains(cg.regex, regex=True).fillna(False)
+        hit_idx = hit[hit].index
+        for fname, (groups, _typ) in cg.fields.items():
+            vals = None
+            for g in groups:
+                col = ext[g] if g in ext.columns else pd.Series(dtype="object")
+                if vals is None:
+                    vals = col
+                else:
+                    # grok same-name alternation: only one side matched →
+                    # coalesce. dissect %{+name} append: both matched →
+                    # join with a space (the append default).
+                    both = vals.notna() & col.notna()
+                    vals = vals.fillna(col)
+                    if both.any():
+                        vals.loc[both] = vals[both].astype(str) + " " + col[both].astype(str)
+            if vals is not None:
+                out.loc[hit_idx, fname] = vals[hit].astype("object")
+        matched.loc[hit_idx] = True
+        todo = s.notna() & ~matched
+
+    if not keep_empty_captures:
+        for fname in all_fields:
+            empties = out[fname] == ""
+            if empties.any():
+                out.loc[empties, fname] = None
+
+    for fname, typ in all_fields.items():
+        if typ == "int":
+            out[fname] = pd.to_numeric(out[fname], errors="coerce").astype("Int64")
+        elif typ == "float":
+            out[fname] = pd.to_numeric(out[fname], errors="coerce").astype("Float64")
+    out["_matched"] = matched
+    return out
+
+
+def struct_extract_udf(compiled: list[CompiledGrok], keep_empty_captures: bool = False):
+    """(pandas_udf, schema_ddl) applying compiled patterns first-match-wins.
+
+    Shared executor for grok and dissect stages.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    schema = grok_output_schema(compiled)
+
+    @pandas_udf(f"struct<{schema}>")
+    def _extract(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for s in batches:
+            yield grok_extract_batch(s, compiled, keep_empty_captures)
+
+    return _extract, schema
+
+
+def grok_udf(patterns: list[str], extra_patterns: dict[str, str] | None = None,
+             keep_empty_captures: bool = False):
+    """Build (pandas_udf, output_schema_ddl) for a grok match spec."""
+    compiled = [compile_grok(p, extra_patterns) for p in patterns]
+    return struct_extract_udf(compiled, keep_empty_captures)
+
+
+def lower_single_capture(pattern: str) -> tuple[str, str] | None:
+    """If the grok spec is one literal-anchored single capture, return
+    (python_regex, field) so the stage can use native F.regexp_extract
+    instead of a UDF. Conservative: only when exactly one semantic
+    capture exists and the expansion has exactly one group."""
+    cg = compile_grok(pattern)
+    if len(cg.fields) != 1:
+        return None
+    fname, (groups, typ) = next(iter(cg.fields.items()))
+    if len(groups) != 1 or typ != "string":
+        return None
+    # rewrite the single named group to an anonymous group for Spark's
+    # Java regex (named groups differ between re and java.util.regex)
+    java_pat = cg.regex.pattern.replace(f"(?P<{groups[0]}>", "(")
+    if "(?P<" in java_pat or "(?<!" in java_pat or "(?!" in java_pat:
+        return None  # lookarounds are fine in Java but keep it conservative
+    return java_pat, fname

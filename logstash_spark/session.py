@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+Centralizes the configs the whole engine depends on:
+
+* AQE on (runtime re-plan, skew-join splitting, partition coalescing) —
+  the scale story for Zipf-skewed ``lang``/``domain`` keys.
+* Arrow on, bounded batch size — every vectorized UDF ships columnar.
+* UTC session timezone — required for DuckDB-oracle comparisons
+  (DuckDB timestamps are UTC-naive).
+* ``spark.sql.shuffle.partitions`` sized to local cores; on a real
+  cluster this is overridden per-deploy (AQE coalescing makes the
+  initial number forgiving).
+
+Reference counterpart: Logstash's throughput-bounding settings
+(``pipeline.workers``/``batch.size``/``batch.delay``,
+logstash-core/lib/logstash/settings.rb) — here batch sizing becomes
+input-split + Arrow batch sizing and worker count becomes task slots.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size ≈ Logstash pipeline.batch.size scaled for columnar
+# execution: big enough to amortize Python/Arrow transfer, small enough
+# that a batch of html binaries fits comfortably in worker memory.
+ARROW_BATCH = 10_000
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "logstash-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's standard configs."""
+    cores = default_parallelism()
+    if master is None:
+        master = os.environ.get("SPARK_MASTER", f"local[{cores}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        # Logstash semantics for dirty data: a bad cast/parse yields null
+        # (then a failure tag / dead-letter row), never a job abort. Spark
+        # 4 defaults ANSI on (throwing casts) — turn it off engine-wide.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.maxResultSize", "2g")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,265 @@
+"""Enrich-family stages: lookup joins against broadcast dimension tables.
+
+The reference does every enrichment as a per-event hash/tree lookup
+with an in-process cache (translate/geoip/useragent/cidr). The Spark
+re-expression is uniformly a **broadcast join** — the dimension ships
+once per executor, the probe stays in whole-stage codegen, and no
+shuffle touches the (huge) fact side. SURVEY §2.6 notes geoip is the
+one *range* join in the reference's surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..fieldref import field_col
+from .base import Stage, add_tags, register
+
+
+def ip_to_long(col: Column) -> Column:
+    """Dotted-quad → int64, fully native (aggregate over split octets)."""
+    return F.aggregate(
+        F.transform(F.split(col, r"\."), lambda x: x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 256 + x,
+    )
+
+
+@register("translate")
+class TranslateStage(Stage):
+    """logstash-filter-translate:lib/logstash/filters/translate.rb.
+
+    conf: source, target, dictionary (inline dict → literal create_map,
+    no join at all) OR dictionary_df (2+ column DataFrame, first column
+    is the key → broadcast hash join), fallback (F.coalesce), exact.
+    Lookup-miss with no fallback leaves target null (reference leaves
+    the field unset) and optionally tags ``tag_on_miss``.
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        source = self.conf["source"]
+        target = self.conf.get("target", "translation")
+        fallback = self.conf.get("fallback")
+        src = field_col(source)
+
+        if "dictionary" in self.conf:
+            d: dict = self.conf["dictionary"]
+            m = F.create_map(*[x for k, v in d.items() for x in (F.lit(k), F.lit(v))])
+            val = m[src]
+            if fallback is not None:
+                val = F.coalesce(val, F.lit(fallback))
+            matched = m[src].isNotNull()
+            df = df.withColumn(target, val)
+        else:
+            dim: DataFrame = self.conf["dictionary_df"]
+            key, *vals = dim.columns
+            if len(vals) == 1:
+                dim2 = dim.withColumnRenamed(vals[0], target)
+                out_cols = [target]
+            else:
+                # multi-column dictionary → one struct column (jdbc_static-style)
+                dim2 = dim.select(F.col(key), F.struct(*vals).alias(target))
+                out_cols = [target]
+            dim2 = dim2.withColumnRenamed(key, "__dict_key")
+            df = df.join(F.broadcast(dim2), src == F.col("__dict_key"), "left").drop("__dict_key")
+            matched = F.col(target).isNotNull()
+            if fallback is not None and len(vals) == 1:
+                df = df.withColumn(target, F.coalesce(F.col(target), F.lit(fallback)))
+        tag_on_miss = self.conf.get("tag_on_miss")
+        if tag_on_miss:
+            df = add_tags(df, [tag_on_miss], src.isNotNull() & ~matched)
+        return df, matched
+
+
+@register("geoip")
+class GeoipStage(Stage):
+    """logstash-filter-geoip (MaxMind mmdb lookup in the reference).
+
+    conf: source (ip string), target (default "geo"), ranges_df with
+    (ip_start_int, ip_end_int, country, city, lat, lon), strategy:
+      * "broadcast_range" — native BroadcastNestedLoopJoin on
+        ``ip BETWEEN lo AND hi`` (fine up to ~2k ranges: m comparisons
+        per row inside codegen, zero Python);
+      * "binary_search" — sorted boundary arrays shipped as a broadcast
+        variable, probed via vectorized ``np.searchsorted`` in a pandas
+        UDF (O(log m) per row — the ≥10k-range scale path, SURVEY §2.4);
+      * "auto" (default): count the dim once and pick.
+    Miss → null struct + ``_geoip_lookup_failure`` tag (reference tag).
+    """
+
+    AUTO_THRESHOLD = 2000
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        source = self.conf["source"]
+        target = self.conf.get("target", "geo")
+        ranges: DataFrame = self.conf["ranges_df"]
+        strategy = self.conf.get("strategy", "auto")
+        src_ip = field_col(source)
+
+        if strategy == "auto":
+            strategy = (
+                "broadcast_range" if ranges.count() <= self.AUTO_THRESHOLD else "binary_search"
+            )
+
+        ip_int = ip_to_long(src_ip)
+        if strategy == "broadcast_range":
+            dim = ranges.select(
+                F.col("ip_start_int").alias("__lo"),
+                F.col("ip_end_int").alias("__hi"),
+                F.struct("country", "city", "lat", "lon").alias(target),
+            )
+            df = df.withColumn("__ip_int", ip_int)
+            df = df.join(
+                F.broadcast(dim),
+                (F.col("__ip_int") >= F.col("__lo")) & (F.col("__ip_int") <= F.col("__hi")),
+                "left",
+            ).drop("__lo", "__hi", "__ip_int")
+        else:
+            spark = df.sparkSession
+            pdim = (
+                ranges.select("ip_start_int", "ip_end_int", "country", "city", "lat", "lon")
+                .orderBy("ip_start_int")
+                .toPandas()
+            )
+            bc = spark.sparkContext.broadcast(
+                {
+                    "starts": pdim["ip_start_int"].to_numpy(),
+                    "ends": pdim["ip_end_int"].to_numpy(),
+                    "country": pdim["country"].to_numpy(),
+                    "city": pdim["city"].to_numpy(),
+                    "lat": pdim["lat"].to_numpy(),
+                    "lon": pdim["lon"].to_numpy(),
+                }
+            )
+            from pyspark.sql.functions import pandas_udf
+            import numpy as np
+
+            @pandas_udf("struct<country:string,city:string,lat:double,lon:double>")
+            def _lookup(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+                d = bc.value
+                for s in batches:
+                    ips = pd.to_numeric(s, errors="coerce")
+                    idx = np.searchsorted(d["starts"], ips.fillna(-1).to_numpy(), side="right") - 1
+                    valid = (idx >= 0) & ips.notna().to_numpy()
+                    safe = np.clip(idx, 0, len(d["starts"]) - 1)
+                    in_range = valid & (ips.fillna(-1).to_numpy() <= d["ends"][safe])
+                    out = pd.DataFrame(
+                        {
+                            "country": np.where(in_range, d["country"][safe], None),
+                            "city": np.where(in_range, d["city"][safe], None),
+                            "lat": np.where(in_range, d["lat"][safe], np.nan),
+                            "lon": np.where(in_range, d["lon"][safe], np.nan),
+                        },
+                        index=s.index,
+                    )
+                    yield out
+
+            df = df.withColumn(target, _lookup(ip_int))
+            df = df.withColumn(
+                target, F.when(F.col(f"{target}.country").isNotNull(), F.col(target))
+            )
+        matched = F.col(f"{target}.country").isNotNull()
+        df = add_tags(
+            df, self.conf.get("tag_on_failure", ["_geoip_lookup_failure"]),
+            src_ip.isNotNull() & ~matched,
+        )
+        return df, matched
+
+
+@register("useragent")
+class UseragentStage(Stage):
+    """logstash-filter-useragent (uap-java regex db in the reference).
+
+    conf: source, target (default "ua"), rules_df with
+    (pattern, name, os, device, priority). First match in priority
+    order wins — exactly the uap-core matching contract. The rule set
+    ships as a broadcast variable; matching is vectorized
+    ``str.contains`` per rule over only still-unmatched rows.
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        source = self.conf["source"]
+        target = self.conf.get("target", "ua")
+        rules_df: DataFrame = self.conf["rules_df"]
+        rules = [
+            (r["pattern"], r["name"], r["os"], r["device"])
+            for r in rules_df.orderBy("priority").collect()
+        ]
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(rules)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("struct<name:string,os:string,device:string>")
+        def _ua(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            import re
+
+            compiled = [(re.compile(p), n, o, d) for p, n, o, d in bc.value]
+            for s in batches:
+                out = pd.DataFrame(
+                    {"name": None, "os": None, "device": None}, index=s.index, dtype="object"
+                )
+                todo = s.notna()
+                ss = s.astype("string")
+                for pat, name, os_, dev in compiled:
+                    if not todo.any():
+                        break
+                    hit = ss[todo].str.contains(pat, regex=True).fillna(False)
+                    hit_idx = hit[hit].index
+                    out.loc[hit_idx, ["name", "os", "device"]] = [name, os_, dev]
+                    todo.loc[hit_idx] = False
+                yield out
+
+        df = df.withColumn(target, _ua(field_col(source)))
+        matched = F.col(f"{target}.name").isNotNull()
+        df = df.withColumn(target, F.when(matched, F.col(target)))
+        return df, matched
+
+
+@register("cidr")
+class CidrStage(Stage):
+    """logstash-filter-cidr: ip ∈ any of N CIDR networks → matched
+    (tags/fields via common options). Networks resolve to [lo, hi] at
+    plan time; the test is a native OR-chain of BETWEENs."""
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        import ipaddress
+
+        address = self.conf["address"]
+        networks = self.conf["network"]
+        if isinstance(networks, str):
+            networks = [networks]
+        ip_int = ip_to_long(field_col(address))
+        cond = F.lit(False)
+        for net in networks:
+            n = ipaddress.ip_network(net)
+            lo, hi = int(n.network_address), int(n.broadcast_address)
+            cond = cond | ((ip_int >= F.lit(lo)) & (ip_int <= F.lit(hi)))
+        return df.withColumn("__matched", cond), F.col("__matched")
+
+
+@register("tld")
+class TldStage(Stage):
+    """logstash-filter-tld-style domain/suffix extraction.
+
+    conf: source (url column), suffixes (list of public suffixes;
+    longest match wins — resolved at plan time into ONE when-chain
+    ordered by label count, all JVM-side). Adds ``domain`` and ``tld``.
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        source = self.conf.get("source", "url")
+        suffixes: list[str] = self.conf["suffixes"]
+        host = F.parse_url(field_col(source), F.lit("HOST"))
+        df = df.withColumn("domain", host)
+        expr = F.lit(None).cast("string")
+        chain = None
+        for suf in sorted(suffixes, key=lambda s: -s.count(".")):
+            cond = host.endswith("." + suf)
+            chain = F.when(cond, F.lit(suf)) if chain is None else chain.when(cond, F.lit(suf))
+        expr = chain.otherwise(F.lit(None)) if chain is not None else expr
+        df = df.withColumn("tld", expr)
+        return df, F.col("tld").isNotNull()

@@ -1,0 +1,216 @@
+"""Flow-family stages: event fan-in/fan-out/rate/stateful operators.
+
+drop / clone / split / throttle / aggregate / multiline / metrics —
+the stages where the reference is row-at-a-time-stateful and the Spark
+re-expression is windows, explodes and grouped pandas (SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..fieldref import field_col, field_name
+from .base import Stage, add_tags, register
+
+
+@register("drop")
+class DropStage(Stage):
+    """logstash-filter-drop: cancel events (≙ filter-out), optional
+    percentage sampling. Determinism: sampling hashes a key column
+    (``deterministic_on``) instead of rand() so reruns/resumes drop the
+    SAME rows — required for the checkpoint/resume equality test."""
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        pct = float(self.conf.get("percentage", 100))
+        if pct >= 100:
+            cond = self.conf.get("when")
+            if cond is not None:
+                from ..conditions import compile_condition
+
+                return df.filter(~compile_condition(cond, df)), None
+            raise ValueError("drop at 100% with no condition would empty the stream")
+        key = self.conf.get("deterministic_on")
+        if key:
+            u = (F.pmod(F.xxhash64(field_col(key)), F.lit(10000)) / 10000.0)
+        else:
+            u = F.rand(seed=int(self.conf.get("seed", 42)))
+        return df.filter(u >= pct / 100.0), None
+
+
+@register("clone")
+class CloneStage(Stage):
+    """logstash-filter-clone: original + one copy per clone name, copy's
+    ``type`` set to the name. One explode — no self-union scans."""
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        clones: list[str] = self.conf["clones"]
+        variants = F.array(F.lit(None).cast("string"), *[F.lit(c) for c in clones])
+        df = df.withColumn("__clone", F.explode(variants))
+        existing_type = F.col("type") if "type" in df.columns else F.lit(None).cast("string")
+        df = df.withColumn("type", F.coalesce(F.col("__clone"), existing_type))
+        matched = F.col("__clone").isNotNull()
+        df = df.withColumn("__matched", matched).drop("__clone")
+        return df, F.col("__matched")
+
+
+@register("split")
+class SplitStage(Stage):
+    """logstash-filter-split: one event per array element (or per
+    terminator-separated string chunk) — exactly ``F.explode``."""
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        ref = self.conf["field"]
+        name = field_name(ref)
+        target = self.conf.get("target", name)
+        dt = dict(df.dtypes).get(name, "")
+        if dt.startswith("array"):
+            col = field_col(ref)
+        else:
+            import re
+
+            terminator = self.conf.get("terminator", "\n")
+            col = F.split(field_col(ref), re.escape(terminator))
+        df = df.withColumn(target, F.explode_outer(col))
+        return df, None
+
+
+@register("throttle")
+class ThrottleStage(Stage):
+    """logstash-filter-throttle: tag events past N-per-period per key.
+
+    Reference keeps sliding timeslot state per key (throttle.rb);
+    batch re-expression: ``row_number() OVER (PARTITION BY key,
+    window(ts, period))`` and matched ⇢ rn > after_count. The common
+    options then apply the throttle tag. One shuffle on (key, window).
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        key = self.conf["key"]
+        period = int(self.conf.get("period", 3600))
+        after = int(self.conf["after_count"])
+        ts = self.conf.get("timestamp_field", "event_ts")
+        w = (
+            Window.partitionBy(field_col(key), F.window(F.col(ts), f"{period} seconds"))
+            .orderBy(F.col(ts))
+        )
+        df = df.withColumn("__rn", F.row_number().over(w))
+        df = df.withColumn("__matched", F.col("__rn") > after).drop("__rn")
+        return df, F.col("__matched")
+
+
+@register("aggregate")
+class AggregateStage(Stage):
+    """logstash-filter-aggregate: cross-event reduce keyed by task_id.
+
+    The reference REQUIRES workers=1 (single-threaded global state);
+    here keys are the parallel unit: ``groupBy(task_id).applyInPandas``
+    with explicit intra-key ordering (``sort_by``) replacing arrival
+    order. conf: task_id (field), code (callable pdf→pdf), schema
+    (output DDL), sort_by (column for intra-key order).
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        task_id = self.conf["task_id"]
+        fn = self.conf["code"]
+        schema = self.conf["schema"]
+        sort_by = self.conf.get("sort_by")
+
+        def run(pdf):
+            if sort_by:
+                pdf = pdf.sort_values(sort_by, kind="mergesort")  # stable
+            return fn(pdf)
+
+        out = df.groupBy(field_name(task_id)).applyInPandas(run, schema=schema)
+        return out, None
+
+
+@register("multiline")
+class MultilineStage(Stage):
+    """logstash-codec-multiline: stateful line merging → sessionization.
+
+    conf: pattern, what ("previous"|"next"), negate, source (default
+    message), group_by (stream identity column, e.g. file), order_by
+    (line number column). Group ids come from a running sum of
+    boundary flags over a window; lines merge via ordered
+    ``collect_list`` + ``array_join`` (order pinned by sorting the
+    collected structs — shuffle-order independent).
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        pattern = self.conf["pattern"]
+        what = self.conf.get("what", "previous")
+        negate = bool(self.conf.get("negate", False))
+        source = self.conf.get("source", "message")
+        group_by = self.conf["group_by"]
+        order_by = self.conf["order_by"]
+
+        flag = field_col(source).rlike(pattern)
+        if negate:
+            flag = ~flag
+        w = Window.partitionBy(group_by).orderBy(order_by)
+        if what == "previous":
+            # line matching glues to previous → boundary at non-matching lines
+            boundary = (~flag).cast("int")
+        else:
+            # line matching glues to NEXT → boundary after a non-matching line
+            prev = F.lag(flag, 1, False).over(w)
+            boundary = (~prev).cast("int")
+        df = df.withColumn("__grp", F.sum(boundary).over(w))
+        merged = (
+            df.groupBy(group_by, "__grp")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col(order_by).alias("o"),
+                                                             field_col(source).alias("m")))),
+                        lambda s: s.getField("m"),
+                    ),
+                    "\n",
+                ).alias(field_name(source)),
+                F.min(order_by).alias(order_by),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+            .drop("__grp")
+        )
+        tag_multi = self.conf.get("multiline_tag", "multiline")
+        merged = add_tags(merged, [tag_multi], F.col("n_lines") > 1)
+        return merged, None
+
+
+@register("metrics")
+class MetricsStage(Stage):
+    """logstash-filter-metrics: meter events with count + rate EWMA.
+
+    Batch re-expression (documented deviation per SURVEY §2.4): a
+    terminal aggregation — count per (meter, flush window) with EWMA
+    computed across successive windows via a window function. conf:
+    meter (field whose value names the meter), flush_interval (sec),
+    timestamp_field.
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        meter = self.conf["meter"]
+        interval = int(self.conf.get("flush_interval", 5))
+        ts = self.conf.get("timestamp_field", "event_ts")
+        agg = (
+            df.groupBy(
+                field_col(meter).alias("meter"),
+                F.window(F.col(ts), f"{interval} seconds").alias("w"),
+            )
+            .agg(F.count(F.lit(1)).alias("count"))
+            .select("meter", F.col("w.start").alias("window_start"), "count")
+        )
+        # EWMA over successive windows (α per Logstash's 1-minute meter)
+        alpha = 2.0 / (60.0 / interval + 1.0)
+        w = Window.partitionBy("meter").orderBy("window_start")
+        rn = F.row_number().over(w)
+        # closed-form EWMA of the rate series via sum of weighted terms
+        rate = F.col("count") / F.lit(float(interval))
+        weighted = rate * F.pow(F.lit(1 - alpha), -rn.cast("double"))
+        ewma_num = F.sum(weighted).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ewma = (ewma_num * F.pow(F.lit(1 - alpha), rn.cast("double"))).alias("rate_1m_raw")
+        agg = agg.withColumn("rate", rate).withColumn(
+            "rate_1m", F.round(ewma * F.lit(alpha) / (1 - F.pow(F.lit(1 - alpha), rn.cast("double"))), 6)
+        )
+        return agg, None

@@ -1,0 +1,336 @@
+"""Mutate-family stages: field surgery, hashing, pruning, the UDF escape hatch.
+
+Reference plugins cited per class (SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..fieldref import field_col, field_name, sprintf_col
+from .base import Stage, register
+
+# logstash-filter-mutate documents a FIXED execution order for its ops
+# (mutate.rb README "Mutate gsub ... are applied in this order"); the
+# parity trap SURVEY §7 flags. Replicated verbatim:
+MUTATE_ORDER = [
+    "coerce", "rename", "update", "replace", "convert", "gsub",
+    "uppercase", "capitalize", "lowercase", "strip", "split", "join",
+    "merge", "copy",
+]
+
+_CONVERT_TYPES = {
+    "integer": "long",
+    "float": "double",
+    "string": "string",
+    "boolean": "boolean",
+}
+
+
+@register("mutate")
+class MutateStage(Stage):
+    """logstash-filter-mutate:lib/logstash/filters/mutate.rb.
+
+    Every op is a native Column expression; the whole stage is one
+    projection — zero Python at runtime.
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        for op in MUTATE_ORDER:
+            if op not in self.conf:
+                continue
+            arg = self.conf[op]
+            df = getattr(self, f"_op_{op}")(df, arg)
+        return df, None  # mutate "matches" every event it sees
+
+    def _op_coerce(self, df, arg: dict):
+        # set a default for fields that exist with null value
+        for ref, default in arg.items():
+            name = field_name(ref)
+            if name in df.columns:
+                dt = dict(df.dtypes)[name]
+                df = df.withColumn(name, F.coalesce(F.col(name), F.lit(default).cast(dt)))
+        return df
+
+    def _op_rename(self, df, arg: dict):
+        for old, new in arg.items():
+            df = df.withColumnRenamed(field_name(old), field_name(new))
+        return df
+
+    def _op_update(self, df, arg: dict):
+        # update only if field exists (reference: skip otherwise)
+        for ref, template in arg.items():
+            name = field_name(ref)
+            if name in df.columns:
+                df = df.withColumn(
+                    name,
+                    F.when(F.col(name).isNotNull(), sprintf_col(template)).otherwise(F.col(name)),
+                )
+        return df
+
+    def _op_replace(self, df, arg: dict):
+        for ref, template in arg.items():
+            df = df.withColumn(field_name(ref), sprintf_col(template))
+        return df
+
+    def _op_convert(self, df, arg: dict):
+        for ref, typ in arg.items():
+            name = field_name(ref)
+            spark_t = _CONVERT_TYPES.get(typ, typ)
+            col = F.col(name)
+            if typ == "boolean":
+                # mutate.rb convert: "true"/"t"/"yes"/"y"/"1" → true, etc.
+                col = F.when(F.lower(col.cast("string")).isin("true", "t", "yes", "y", "1"), F.lit(True)) \
+                    .when(F.lower(col.cast("string")).isin("false", "f", "no", "n", "0"), F.lit(False))
+            else:
+                col = col.cast(spark_t)
+            df = df.withColumn(name, col)
+        return df
+
+    def _op_gsub(self, df, arg: list):
+        # flat triples [field, pattern, replacement, ...]
+        for i in range(0, len(arg), 3):
+            ref, pat, repl = arg[i : i + 3]
+            name = field_name(ref)
+            df = df.withColumn(name, F.regexp_replace(F.col(name), pat, repl))
+        return df
+
+    def _op_uppercase(self, df, refs: list):
+        for ref in refs:
+            df = df.withColumn(field_name(ref), F.upper(field_col(ref)))
+        return df
+
+    def _op_capitalize(self, df, refs: list):
+        for ref in refs:
+            n = field_name(ref)
+            df = df.withColumn(
+                n, F.concat(F.upper(F.substring(F.col(n), 1, 1)), F.lower(F.expr(f"substring(`{n}`, 2)")))
+            )
+        return df
+
+    def _op_lowercase(self, df, refs: list):
+        for ref in refs:
+            df = df.withColumn(field_name(ref), F.lower(field_col(ref)))
+        return df
+
+    def _op_strip(self, df, refs: list):
+        for ref in refs:
+            df = df.withColumn(field_name(ref), F.trim(field_col(ref)))
+        return df
+
+    def _op_split(self, df, arg: dict):
+        for ref, sep in arg.items():
+            import re as _re
+
+            df = df.withColumn(field_name(ref), F.split(field_col(ref), _re.escape(sep)))
+        return df
+
+    def _op_join(self, df, arg: dict):
+        for ref, sep in arg.items():
+            df = df.withColumn(field_name(ref), F.array_join(field_col(ref), sep))
+        return df
+
+    def _op_merge(self, df, arg: dict):
+        # merge src array/map field into dest
+        for dest, src in arg.items():
+            d, s = field_name(dest), field_name(src)
+            dt = dict(df.dtypes).get(d, "")
+            if dt.startswith("map"):
+                df = df.withColumn(d, F.map_concat(F.col(d), F.col(s)))
+            else:
+                df = df.withColumn(d, F.concat(F.col(d), F.col(s)))
+        return df
+
+    def _op_copy(self, df, arg: dict):
+        for src, dest in arg.items():
+            df = df.withColumn(field_name(dest), field_col(src))
+        return df
+
+
+@register("prune")
+class PruneStage(Stage):
+    """logstash-filter-prune: whitelist/blacklist field names (regex).
+
+    Resolved entirely at plan time — it's a ``select``. Map-column
+    residue pruned via ``map_filter``.
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        import re
+
+        wl = self.conf.get("whitelist_names")
+        bl = self.conf.get("blacklist_names")
+        keep = df.columns
+        if wl:
+            pats = [re.compile(p) for p in wl]
+            keep = [c for c in keep if any(p.search(c) for p in pats)]
+        if bl:
+            pats = [re.compile(p) for p in bl]
+            keep = [c for c in keep if not any(p.search(c) for p in pats)]
+        return df.select(*keep), None
+
+
+@register("de_dot")
+class DeDotStage(Stage):
+    """logstash-filter-de_dot: '.' in column names → '_' (plan-time rename)."""
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        sep = self.conf.get("separator", "_")
+        for c in df.columns:
+            if "." in c:
+                df = df.withColumnRenamed(c, c.replace(".", sep))
+        return df, None
+
+
+@register("urldecode")
+class UrlDecodeStage(Stage):
+    """logstash-filter-urldecode → native F.url_decode (Spark 3.4+)."""
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        ref = self.conf.get("field", "message")
+        name = field_name(ref)
+        df = df.withColumn(name, F.url_decode(field_col(ref)))
+        return df, None
+
+
+@register("truncate")
+class TruncateStage(Stage):
+    """logstash-filter-truncate: cap string fields at length_bytes.
+
+    Byte-true semantics via binary substring then decode (UTF-8 safe
+    truncation would need a UDF; reference truncates at the byte
+    boundary too — documented as byte-exact).
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        n = int(self.conf["length_bytes"])
+        fields = self.conf.get("fields", ["message"])
+        if isinstance(fields, str):
+            fields = [fields]
+        for ref in fields:
+            name = field_name(ref)
+            col = F.col(name)
+            truncated = F.decode(F.substring(F.encode(col, "UTF-8"), 1, n), "UTF-8")
+            df = df.withColumn(
+                name, F.when(F.octet_length(col) > n, truncated).otherwise(col)
+            )
+        return df, None
+
+
+_SYSLOG_FACILITIES = [
+    "kernel", "user-level", "mail", "daemon", "security/authorization",
+    "syslogd", "line printer", "network news", "uucp", "clock",
+    "security/authorization", "ftp", "ntp", "log audit", "log alert",
+    "clock", "local0", "local1", "local2", "local3", "local4", "local5",
+    "local6", "local7",
+]
+_SYSLOG_SEVERITIES = [
+    "emergency", "alert", "critical", "error", "warning", "notice",
+    "informational", "debug",
+]
+
+
+@register("syslog_pri")
+class SyslogPriStage(Stage):
+    """logstash-filter-syslog_pri: <PRI> → facility/severity (arithmetic
+    + small literal create_map lookups; all JVM-side)."""
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        ref = self.conf.get("syslog_pri_field_name", "syslog_pri")
+        pri = field_col(ref).cast("int")
+        fac_map = F.create_map(
+            *[x for i, name in enumerate(_SYSLOG_FACILITIES) for x in (F.lit(i), F.lit(name))]
+        )
+        sev_map = F.create_map(
+            *[x for i, name in enumerate(_SYSLOG_SEVERITIES) for x in (F.lit(i), F.lit(name))]
+        )
+        df = (
+            df.withColumn("syslog_facility_code", (pri / 8).cast("int"))
+            .withColumn("syslog_severity_code", pri % 8)
+            .withColumn("syslog_facility", fac_map[F.col("syslog_facility_code")])
+            .withColumn("syslog_severity", sev_map[F.col("syslog_severity_code")])
+        )
+        return df, pri.isNotNull()
+
+
+@register("fingerprint")
+class FingerprintStage(Stage):
+    """logstash-filter-fingerprint: hash field(s) → fingerprint column.
+
+    methods: MD5|SHA1|SHA256|SHA512|MURMUR3|XX64 (extension);
+    concatenate_sources joins multi-source with '|' like the reference.
+    All native hash functions — JVM codegen path.
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        sources = self.conf.get("source", ["message"])
+        if isinstance(sources, str):
+            sources = [sources]
+        method = self.conf.get("method", "SHA256").upper()
+        target = self.conf.get("target", "fingerprint")
+        if len(sources) == 1:
+            src = field_col(sources[0]).cast("string")
+        else:
+            src = F.concat_ws("|", *[field_col(s).cast("string") for s in sources])
+        key = self.conf.get("key")
+        if key:
+            src = F.concat(F.lit(key), src)  # documented deviation: keyed-concat, not true HMAC
+        fn = {
+            "MD5": lambda c: F.md5(c),
+            "SHA1": lambda c: F.sha1(c),
+            "SHA256": lambda c: F.sha2(c, 256),
+            "SHA512": lambda c: F.sha2(c, 512),
+            "MURMUR3": lambda c: F.hash(c).cast("string"),
+            "XX64": lambda c: F.xxhash64(c).cast("string"),
+        }[method]
+        return df.withColumn(target, fn(src)), None
+
+
+@register("uuid")
+class UuidStage(Stage):
+    """logstash-filter-uuid. Deterministic test mode: hash-derived UUID
+    from a seed field (SURVEY §7 determinism note)."""
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        target = self.conf.get("target", "uuid")
+        seed_field = self.conf.get("deterministic_from")
+        if seed_field:
+            h = F.sha2(field_col(seed_field).cast("string"), 256)
+            uuid = F.concat_ws(
+                "-",
+                F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+                F.substring(h, 17, 4), F.substring(h, 21, 12),
+            )
+        else:
+            uuid = F.expr("uuid()")
+        return df.withColumn(target, uuid), None
+
+
+@register("ruby")
+class RubyStage(Stage):
+    """logstash-filter-ruby — the escape-hatch UDF.
+
+    In this engine the escape hatch is a user-supplied VECTORIZED
+    function (pd.Series → pd.Series), never per-row Python
+    (BASELINE.json input_hint hard requirement). conf:
+    ``code`` = callable, ``source`` field, ``target`` field,
+    ``returns`` = DDL type of the result (default string).
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        fn = self.conf["code"]
+        source = self.conf.get("source", "message")
+        target = self.conf.get("target", field_name(source))
+        rtype = self.conf.get("returns", "string")
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(rtype)
+        def _ruby(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for s in batches:
+                yield fn(s)
+
+        return df.withColumn(target, _ruby(field_col(source))), None

@@ -1,0 +1,296 @@
+"""Parse-family stages: grok, dissect, kv, json, csv, date.
+
+Each class docstring cites its reference plugin (SURVEY §2.4 rows).
+All failure semantics mirror the reference: parse failure appends the
+plugin's failure tag and leaves the row flowing (dead-letter routing is
+the router's job, not the parser's).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..dissect import DISSECT_FAILURE_TAG, compile_dissect
+from ..fieldref import field_col, field_name
+from ..grok import (
+    GROK_FAILURE_TAG,
+    grok_output_schema,
+    grok_udf,
+    lower_single_capture,
+)
+from .base import Stage, add_tags, register
+
+_MATCHED = "__matched"
+
+
+def _struct_apply(
+    df: DataFrame,
+    source: str,
+    udf_and_schema,
+    target: str | None,
+    overwrite: list[str],
+) -> tuple[DataFrame, Column]:
+    """Shared executor for grok/dissect: struct extraction + flatten."""
+    udf, schema = udf_and_schema
+    tmp = "__captures"
+    df = df.withColumn(tmp, udf(field_col(source)))
+    matched = F.col(f"{tmp}._matched")
+    df = df.withColumn(_MATCHED, matched)
+    capture_fields = [f.split("`")[1] for f in schema.split(", ") if "`" in f]
+    capture_fields = [f for f in capture_fields if f != "_matched"]
+    if target:
+        df = df.withColumn(target, F.col(tmp).dropFields("_matched"))
+    else:
+        for fld in capture_fields:
+            new = F.col(f"{tmp}.`{fld}`")
+            if fld in df.columns and fld not in overwrite:
+                # reference grok does NOT clobber existing fields unless
+                # listed in `overwrite` (grok.rb `overwrite` option)
+                df = df.withColumn(fld, F.coalesce(F.col(fld), new))
+            else:
+                df = df.withColumn(fld, new)
+    df = df.drop(tmp)
+    return df, F.col(_MATCHED)
+
+
+@register("grok")
+class GrokStage(Stage):
+    """logstash-filter-grok:lib/logstash/filters/grok.rb.
+
+    conf: match {source: pattern | [patterns]}, pattern_definitions,
+    target, overwrite, tag_on_failure, keep_empty_captures.
+    First-match-wins across the pattern list (break_on_match).
+    Single-capture patterns lower to native ``F.regexp_extract`` —
+    whole-stage-codegen JVM path, no Python at all.
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        match: dict = self.conf["match"]
+        (source, patterns), *rest = match.items()
+        if rest:
+            raise ValueError("one source field per grok stage; chain stages for more")
+        if isinstance(patterns, str):
+            patterns = [patterns]
+        defs = self.conf.get("pattern_definitions")
+        target = self.conf.get("target")
+        overwrite = self.conf.get("overwrite", [])
+        tags = self.conf.get("tag_on_failure", [GROK_FAILURE_TAG])
+
+        lowered = lower_single_capture(patterns[0]) if (
+            len(patterns) == 1 and not target and not defs
+        ) else None
+        if lowered is not None:
+            java_pat, fld = lowered
+            src = field_col(source)
+            extracted = F.regexp_extract(src, java_pat, 1)
+            matched = src.isNotNull() & (extracted != F.lit(""))
+            df = df.withColumn(_MATCHED, matched)
+            new = F.when(F.col(_MATCHED), extracted)
+            if fld in df.columns and fld not in overwrite:
+                new = F.coalesce(F.col(fld), new)
+            df = df.withColumn(fld, new)
+        else:
+            df, _ = _struct_apply(
+                df,
+                source,
+                grok_udf(patterns, defs, self.conf.get("keep_empty_captures", False)),
+                target,
+                overwrite,
+            )
+        df = add_tags(df, tags, ~F.col(_MATCHED))
+        return df, F.col(_MATCHED)
+
+
+@register("dissect")
+class DissectStage(Stage):
+    """logstash-filter-dissect (Java tokenizer).
+
+    conf: mapping {source: dissect_spec}, tag_on_failure.
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        mapping: dict = self.conf["mapping"]
+        (source, spec), *rest = mapping.items()
+        if rest:
+            raise ValueError("one source field per dissect stage")
+        compiled = compile_dissect(spec)
+        from ..grok import struct_extract_udf
+
+        df, _ = _struct_apply(
+            df,
+            source,
+            struct_extract_udf([compiled], keep_empty_captures=True),
+            self.conf.get("target"),
+            self.conf.get("overwrite", []),
+        )
+        df = add_tags(df, self.conf.get("tag_on_failure", [DISSECT_FAILURE_TAG]), ~F.col(_MATCHED))
+        return df, F.col(_MATCHED)
+
+
+@register("kv")
+class KvStage(Stage):
+    """logstash-filter-kv:lib/logstash/filters/kv.rb.
+
+    conf: source (default message), field_split (char set, default " "),
+    value_split (char set, default "="), target (default: merge into the
+    ``attrs`` overflow map — SURVEY §1.2's schemaless residue column),
+    include_keys, exclude_keys, prefix, trim_key, trim_value.
+    Fully native: ``str_to_map`` + ``map_filter``/``transform_keys``.
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        source = self.conf.get("source", "message")
+        field_split = self.conf.get("field_split", " ")
+        value_split = self.conf.get("value_split", "=")
+        target = self.conf.get("target", "attrs")
+
+        def charset_regex(chars: str) -> str:
+            return "[" + "".join("\\" + c if c in r"\^]-[" else c for c in chars) + "]"
+
+        m = F.str_to_map(
+            field_col(source), F.lit(charset_regex(field_split)), F.lit(charset_regex(value_split))
+        )
+        trim_k = self.conf.get("trim_key")
+        trim_v = self.conf.get("trim_value")
+        if trim_k:
+            m = F.transform_keys(m, lambda k, v: F.regexp_replace(k, f"^{charset_regex(trim_k)}+|{charset_regex(trim_k)}+$", ""))
+        if trim_v:
+            m = F.transform_values(m, lambda k, v: F.regexp_replace(v, f"^{charset_regex(trim_v)}+|{charset_regex(trim_v)}+$", ""))
+        include = self.conf.get("include_keys")
+        exclude = self.conf.get("exclude_keys")
+        if include:
+            m = F.map_filter(m, lambda k, v: k.isin(*include))
+        if exclude:
+            m = F.map_filter(m, lambda k, v: ~k.isin(*exclude))
+        prefix = self.conf.get("prefix")
+        if prefix:
+            m = F.transform_keys(m, lambda k, v: F.concat(F.lit(prefix), k))
+        matched = field_col(source).isNotNull() & (F.size(F.map_keys(m)) > 0)
+        if target in df.columns and dict(df.dtypes).get(target, "").startswith("map"):
+            merged = F.map_concat(F.coalesce(F.col(target), F.create_map()), m)
+            df = df.withColumn(target, F.when(matched, merged).otherwise(F.col(target)))
+        else:
+            df = df.withColumn(target, F.when(matched, m))
+        return df, matched
+
+
+@register("json")
+class JsonStage(Stage):
+    """logstash-filter-json:lib/logstash/filters/json.rb.
+
+    conf: source, target, schema (DDL; omitted → map<string,string> into
+    the overflow map, quarantining schemalessness per SURVEY §1.2),
+    tag_on_failure default ``_jsonparsefailure`` — reference keeps the
+    raw payload in the source field on failure; we do the same (source
+    column is never destroyed).
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        source = self.conf.get("source", "message")
+        schema = self.conf.get("schema")
+        target = self.conf.get("target")
+        src = field_col(source)
+        if schema:
+            parsed = F.from_json(src, schema)
+            tgt = target or field_name(source) + "_parsed"
+        else:
+            parsed = F.from_json(src, "map<string,string>")
+            tgt = target or "attrs"
+        matched = src.isNull() | parsed.isNotNull()
+        failure = src.isNotNull() & parsed.isNull()
+        if tgt in df.columns and dict(df.dtypes).get(tgt, "").startswith("map") and not schema:
+            merged = F.map_concat(F.coalesce(F.col(tgt), F.create_map()), parsed)
+            df = df.withColumn(tgt, F.when(parsed.isNotNull(), merged).otherwise(F.col(tgt)))
+        else:
+            df = df.withColumn(tgt, parsed)
+        df = add_tags(df, self.conf.get("tag_on_failure", ["_jsonparsefailure"]), failure)
+        return df, matched & src.isNotNull()
+
+
+@register("csv")
+class CsvStage(Stage):
+    """logstash-filter-csv:lib/logstash/filters/csv.rb.
+
+    conf: source, columns [names] or schema DDL, separator, quote_char,
+    target. Native ``F.from_csv`` 1:1.
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        source = self.conf.get("source", "message")
+        if "schema" in self.conf:
+            ddl = self.conf["schema"]
+        else:
+            cols = self.conf["columns"]
+            convert = self.conf.get("convert", {})
+            ddl = ", ".join(f"`{c}` {convert.get(c, 'string')}" for c in cols)
+        opts = {
+            "sep": self.conf.get("separator", ","),
+            "quote": self.conf.get("quote_char", '"'),
+        }
+        src = field_col(source)
+        parsed = F.from_csv(src, ddl, opts)
+        target = self.conf.get("target")
+        matched = src.isNotNull() & parsed.isNotNull()
+        if target:
+            df = df.withColumn(target, parsed)
+        else:
+            tmp = "__csv"
+            df = df.withColumn(tmp, parsed)
+            for fld in [f.strip().split()[0].strip("`") for f in ddl.split(",")]:
+                df = df.withColumn(fld, F.col(f"{tmp}.`{fld}`"))
+            df = df.drop(tmp)
+        df = add_tags(df, self.conf.get("tag_on_failure", ["_csvparsefailure"]),
+                      src.isNotNull() & ~matched)
+        return df, matched
+
+
+# Joda (reference) → java.time (Spark) pattern translation. The shared
+# subset is identical; the table handles the known divergences.
+_JODA_TO_JAVA = {"ZZ": "XXX"}
+
+
+def _fmt_to_java(fmt: str) -> str:
+    for j, v in _JODA_TO_JAVA.items():
+        fmt = fmt.replace(j, v)
+    return fmt
+
+
+@register("date")
+class DateStage(Stage):
+    """logstash-filter-date:lib/logstash/filters/date.rb.
+
+    conf: match [field, fmt1, fmt2, ...] (per-format fallback → one
+    ``coalesce`` chain of ``to_timestamp``), target (default event_ts ≙
+    @timestamp), timezone, tag_on_failure default _dateparsefailure.
+    Special formats: ISO8601, UNIX, UNIX_MS (date.rb's special tokens).
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        match = self.conf["match"]
+        source, fmts = match[0], match[1:]
+        target = self.conf.get("target", "event_ts")
+        tz = self.conf.get("timezone")
+        src = field_col(source)
+        attempts = []
+        for fmt in fmts:
+            if fmt == "ISO8601":
+                attempts.append(F.to_timestamp(src))
+            elif fmt == "UNIX":
+                attempts.append(F.timestamp_seconds(src.cast("double")))
+            elif fmt == "UNIX_MS":
+                attempts.append(F.timestamp_millis(src.cast("long")))
+            else:
+                parsed = F.to_timestamp(src, _fmt_to_java(fmt))
+                if tz and not any(z in fmt for z in ("Z", "X", "z", "V")):
+                    parsed = F.to_utc_timestamp(parsed, tz)
+                attempts.append(parsed)
+        parsed = F.coalesce(*attempts) if len(attempts) > 1 else attempts[0]
+        matched = parsed.isNotNull()
+        if target in df.columns:
+            df = df.withColumn(target, F.when(matched, parsed).otherwise(F.col(target)))
+        else:
+            df = df.withColumn(target, parsed)
+        df = add_tags(df, self.conf.get("tag_on_failure", ["_dateparsefailure"]),
+                      src.isNotNull() & ~matched)
+        return df, matched

@@ -1,0 +1,191 @@
+"""Parse-stage tests mirroring the reference plugin specs
+(logstash-filter-{grok,dissect,kv,json,csv,date}:spec/filters/*_spec.rb
+style: sample line in → asserted captures out)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from logstash_spark.stages import apply_stage
+
+APACHE = (
+    '93.180.71.3 - frank [18/Jul/2026:08:25:11 +0000] '
+    '"GET /alpha/beta.html HTTP/1.1" 200 3707 '
+    '"http://referrer.example/" "Mozilla/5.0 (X11; Linux x86_64) Firefox/121.0"'
+)
+
+
+@pytest.fixture(scope="module")
+def msg_df(spark):
+    return spark.createDataFrame(
+        [(1, APACHE), (2, "!!corrupt"), (3, None)], "id int, message string"
+    )
+
+
+def test_grok_combined_apache(msg_df):
+    out = apply_stage(
+        msg_df, {"grok": {"match": {"message": "%{COMBINEDAPACHELOG}"}}}
+    )
+    rows = {r.id: r for r in out.collect()}
+    r1 = rows[1]
+    assert r1.clientip == "93.180.71.3"
+    assert r1.auth == "frank"
+    assert r1.verb == "GET"
+    assert r1.request == "/alpha/beta.html"
+    assert r1.response == "200"
+    assert r1.bytes == "3707"
+    assert r1.timestamp == "18/Jul/2026:08:25:11 +0000"
+    assert "_grokparsefailure" not in (r1.tags or [])
+    assert "_grokparsefailure" in rows[2].tags
+    assert rows[2].clientip is None
+
+
+def test_grok_type_conversion_and_multi_pattern(spark):
+    df = spark.createDataFrame(
+        [(1, "status=200 time=1.5"), (2, "code:404")], "id int, message string"
+    )
+    out = apply_stage(
+        df,
+        {
+            "grok": {
+                "match": {
+                    "message": [
+                        "status=%{INT:status:int} time=%{NUMBER:took:float}",
+                        "code:%{INT:status:int}",
+                    ]
+                }
+            }
+        },
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].status == 200 and abs(rows[1].took - 1.5) < 1e-9
+    assert rows[2].status == 404 and rows[2].took is None
+
+
+def test_grok_native_lowering(spark):
+    df = spark.createDataFrame([(1, "user=alice"), (2, "nope")], "id int, message string")
+    out = apply_stage(df, {"grok": {"match": {"message": "user=%{USERNAME:user}"}}})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_extract" in plan or "ArrowEvalPython" not in plan  # native path, no UDF
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].user == "alice"
+    assert rows[2].user is None and "_grokparsefailure" in rows[2].tags
+
+
+def test_grok_target_and_common_options(msg_df):
+    out = apply_stage(
+        msg_df,
+        {
+            "grok": {
+                "match": {"message": "%{COMBINEDAPACHELOG}"},
+                "target": "http",
+                "add_tag": ["parsed"],
+                "add_field": {"pipe": "apache-%{[http][verb]}"},
+            }
+        },
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].http.clientip == "93.180.71.3"
+    assert "parsed" in rows[1].tags and rows[1].pipe == "apache-GET"
+    assert "parsed" not in (rows[2].tags or []) and rows[2].pipe is None
+
+
+def test_dissect(spark):
+    df = spark.createDataFrame(
+        [(1, "2026-01-01 INFO service started ok"), (2, "badline")],
+        "id int, message string",
+    )
+    out = apply_stage(
+        df,
+        {"dissect": {"mapping": {"message": "%{date} %{level} %{service} %{+service} %{rest}"}}},
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].date == "2026-01-01"
+    assert rows[1].level == "INFO"
+    assert rows[1].service == "service started"
+    assert rows[1].rest == "ok"
+    assert "_dissectfailure" in rows[2].tags
+
+
+def test_kv(spark):
+    df = spark.createDataFrame(
+        [(1, "a=1&b=two&c=3"), (2, None)], "id int, message string"
+    )
+    out = apply_stage(
+        df, {"kv": {"source": "message", "field_split": "&", "target": "attrs"}}
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].attrs == {"a": "1", "b": "two", "c": "3"}
+    assert rows[2].attrs is None
+
+
+def test_kv_include_exclude_prefix(spark):
+    df = spark.createDataFrame([(1, "a=1 b=2 c=3")], "id int, message string")
+    out = apply_stage(
+        df,
+        {"kv": {"include_keys": ["a", "b"], "exclude_keys": ["b"], "prefix": "p_",
+                "target": "kvout"}},
+    )
+    assert out.collect()[0].kvout == {"p_a": "1"}
+
+
+def test_json_stage(spark):
+    df = spark.createDataFrame(
+        [(1, '{"user": "alice", "n": "5"}'), (2, "{invalid"), (3, None)],
+        "id int, message string",
+    )
+    out = apply_stage(df, {"json": {"source": "message"}})
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].attrs == {"user": "alice", "n": "5"}
+    assert "_jsonparsefailure" in rows[2].tags
+    assert rows[2].message == "{invalid"  # raw preserved on failure
+    assert rows[3].tags == [] or rows[3].tags is None
+
+
+def test_json_with_schema(spark):
+    df = spark.createDataFrame([(1, '{"k": 87}')], "id int, props string")
+    out = apply_stage(
+        df, {"json": {"source": "props", "schema": "k int", "target": "parsed"}}
+    )
+    assert out.collect()[0].parsed.k == 87
+
+
+def test_csv_stage(spark):
+    df = spark.createDataFrame(
+        [(1, 'a,"quoted,comma",3'), (2, None)], "id int, message string"
+    )
+    out = apply_stage(
+        df,
+        {"csv": {"columns": ["x", "y", "z"], "convert": {"z": "int"}}},
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].x == "a" and rows[1].y == "quoted,comma" and rows[1].z == 3
+
+
+def test_date_stage_multi_format(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "18/Jul/2026:08:25:11 +0000"),
+            (2, "2026-07-18T08:25:11Z"),
+            (3, "1760775911"),
+            (4, "not a date"),
+        ],
+        "id int, timestamp string",
+    )
+    out = apply_stage(
+        df,
+        {
+            "date": {
+                "match": ["timestamp", "dd/MMM/yyyy:HH:mm:ss Z", "ISO8601", "UNIX"],
+                "target": "event_ts",
+            }
+        },
+    )
+    rows = {r.id: r for r in out.collect()}
+    expect = datetime.datetime(2026, 7, 18, 8, 25, 11)
+    assert rows[1].event_ts == expect
+    assert rows[2].event_ts == expect
+    assert rows[3].event_ts is not None
+    assert rows[4].event_ts is None and "_dateparsefailure" in rows[4].tags
