@@ -1,0 +1,119 @@
+"""Flow-family tests: drop / clone / split / throttle / aggregate /
+multiline / metrics — the stateful re-expressions (SURVEY §2.4)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+
+from logstash_spark.stages import apply_stage
+
+T0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def ts(sec: int) -> datetime.datetime:
+    return T0 + datetime.timedelta(seconds=sec)
+
+
+def test_drop_conditional(spark):
+    df = spark.createDataFrame([(1, "en"), (2, "und")], "id int, lang string")
+    out = apply_stage(df, {"drop": {"when": "[lang] == 'und'"}})
+    assert [r.id for r in out.collect()] == [1]
+
+
+def test_drop_sampling_deterministic(spark):
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(200)], "id int, url string")
+    a = apply_stage(df, {"drop": {"percentage": 50, "deterministic_on": "url"}})
+    b = apply_stage(df, {"drop": {"percentage": 50, "deterministic_on": "url"}})
+    ka = sorted(r.id for r in a.collect())
+    kb = sorted(r.id for r in b.collect())
+    assert ka == kb
+    assert 60 < len(ka) < 140  # ~50%
+
+
+def test_clone(spark):
+    df = spark.createDataFrame([(1, "msg")], "id int, message string")
+    out = apply_stage(df, {"clone": {"clones": ["copy1", "copy2"], "add_tag": ["cloned"]}})
+    rows = sorted(out.collect(), key=lambda r: (r.type or ""))
+    assert len(rows) == 3
+    assert rows[0].type is None and rows[0].tags == []  # original untouched
+    assert rows[1].type == "copy1" and "cloned" in rows[1].tags
+    assert rows[2].type == "copy2"
+
+
+def test_split_array_and_string(spark):
+    df = spark.createDataFrame([(1, ["a", "b"], "x\ny")], "id int, arr array<string>, s string")
+    out = apply_stage(df, {"split": {"field": "arr"}})
+    assert sorted(r.arr for r in out.collect()) == ["a", "b"]
+    out2 = apply_stage(df, {"split": {"field": "s"}})
+    assert sorted(r.s for r in out2.collect()) == ["x", "y"]
+
+
+def test_throttle(spark):
+    rows = [(i, "k", ts(i)) for i in range(5)] + [(10, "other", ts(2))]
+    df = spark.createDataFrame(rows, "id int, key string, event_ts timestamp")
+    out = apply_stage(
+        df,
+        {"throttle": {"key": "key", "period": 60, "after_count": 3,
+                      "add_tag": ["throttled"]}},
+    )
+    tagged = sorted(r.id for r in out.collect() if "throttled" in (r.tags or []))
+    assert tagged == [3, 4]  # rows 4 and 5 of key "k" exceed 3-per-minute
+
+
+def test_aggregate(spark):
+    df = spark.createDataFrame(
+        [(1, "t1", 1.0, ts(0)), (2, "t1", 2.0, ts(1)), (3, "t2", 5.0, ts(2))],
+        "id int, task_id string, value double, event_ts timestamp",
+    )
+
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"task_id": [pdf["task_id"].iloc[0]], "total": [pdf["value"].sum()],
+             "n": [len(pdf)]}
+        )
+
+    out = apply_stage(
+        df,
+        {"aggregate": {"task_id": "task_id", "code": reduce_fn,
+                       "schema": "task_id string, total double, n long",
+                       "sort_by": "event_ts"}},
+    )
+    rows = {r.task_id: r for r in out.collect()}
+    assert rows["t1"].total == 3.0 and rows["t1"].n == 2
+    assert rows["t2"].total == 5.0
+
+
+def test_multiline_previous(spark):
+    lines = [
+        (1, "f", 1, "2026-01-01 start of event"),
+        (2, "f", 2, "  continuation one"),
+        (3, "f", 3, "  continuation two"),
+        (4, "f", 4, "2026-01-01 second event"),
+        (5, "g", 1, "2026-01-01 other file"),
+    ]
+    df = spark.createDataFrame(lines, "id int, file string, lineno int, message string")
+    out = apply_stage(
+        df,
+        {"multiline": {"pattern": r"^\s", "what": "previous",
+                       "group_by": "file", "order_by": "lineno"}},
+    )
+    rows = sorted(out.collect(), key=lambda r: (r.file, r.lineno))
+    assert rows[0].message == "2026-01-01 start of event\n  continuation one\n  continuation two"
+    assert "multiline" in rows[0].tags
+    assert rows[1].message == "2026-01-01 second event"
+    assert rows[2].file == "g" and rows[2].n_lines == 1
+
+
+def test_metrics_stage(spark):
+    rows = [(i, "click" if i % 2 else "view", ts(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id int, event_type string, event_ts timestamp")
+    out = apply_stage(
+        df, {"metrics": {"meter": "event_type", "flush_interval": 10}}
+    )
+    got = {(r.meter, r.window_start.second): r["count"] for r in out.collect()}
+    assert got[("click", 0)] == 5 and got[("view", 0)] == 5
+    assert got[("click", 10)] == 5 and got[("view", 10)] == 5
+    assert all(r.rate == r["count"] / 10.0 for r in out.collect())

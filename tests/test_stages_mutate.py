@@ -1,0 +1,133 @@
+"""Mutate-family tests mirroring logstash-filter-mutate spec cases
+(rename/convert/gsub/case/split/join/strip op-order semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from logstash_spark.stages import apply_stage
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "  Hello World  ", "42", "a-b-c", None),
+            (2, "FOO bar", "x", "one", "keep"),
+        ],
+        "id int, message string, num string, csvish string, maybe string",
+    )
+
+
+def test_mutate_core_ops(df):
+    out = apply_stage(
+        df,
+        {
+            "mutate": {
+                "strip": ["message"],
+                "convert": {"num": "integer"},
+                "gsub": ["csvish", "-", "_"],
+                "lowercase": ["message"],
+                "split": {"csvish": "_"},  # order: gsub runs before split
+            }
+        },
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].message == "hello world"
+    assert rows[1].num == 42
+    assert rows[2].num is None  # bad convert -> null, never a throw
+    assert rows[1].csvish == ["a", "b", "c"]
+
+
+def test_mutate_rename_replace_copy_coerce(df):
+    out = apply_stage(
+        df,
+        {
+            "mutate": {
+                "coerce": {"maybe": "default"},
+                "rename": {"num": "number"},
+                "replace": {"message": "static-%{id}"},
+                "copy": {"csvish": "csvish_copy"},
+            }
+        },
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].number == "42" and "num" not in out.columns
+    assert rows[1].message == "static-1"
+    assert rows[1].maybe == "default" and rows[2].maybe == "keep"
+    assert rows[1].csvish_copy == "a-b-c"
+
+
+def test_mutate_join_upper_capitalize(spark):
+    df = spark.createDataFrame([(1, ["x", "y"], "word")], "id int, arr array<string>, w string")
+    out = apply_stage(
+        df, {"mutate": {"join": {"arr": ","}, "capitalize": ["w"]}}
+    )
+    r = out.collect()[0]
+    assert r.arr == "x,y" and r.w == "Word"
+
+
+def test_prune(spark):
+    df = spark.createDataFrame([(1, "a", "b")], "id int, keep_me string, drop_me string")
+    out = apply_stage(df, {"prune": {"whitelist_names": ["^id$", "^keep"]}})
+    assert out.columns == ["id", "keep_me"]
+    out2 = apply_stage(df, {"prune": {"blacklist_names": ["^drop"]}})
+    assert out2.columns == ["id", "keep_me"]
+
+
+def test_fingerprint_methods(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(1, "hello")], "id int, message string")
+    out = apply_stage(df, {"fingerprint": {"source": "message", "method": "SHA256"}})
+    assert out.collect()[0].fingerprint == hashlib.sha256(b"hello").hexdigest()
+    out = apply_stage(df, {"fingerprint": {"source": "message", "method": "MD5"}})
+    assert out.collect()[0].fingerprint == hashlib.md5(b"hello").hexdigest()
+
+
+def test_fingerprint_concat_sources(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(1, "a", "b")], "id int, x string, y string")
+    out = apply_stage(df, {"fingerprint": {"source": ["x", "y"], "method": "SHA1"}})
+    assert out.collect()[0].fingerprint == hashlib.sha1(b"a|b").hexdigest()
+
+
+def test_urldecode(spark):
+    df = spark.createDataFrame([(1, "a%20b%2Fc")], "id int, message string")
+    assert apply_stage(df, {"urldecode": {"field": "message"}}).collect()[0].message == "a b/c"
+
+
+def test_truncate_bytes(spark):
+    df = spark.createDataFrame([(1, "abcdef"), (2, "ab")], "id int, message string")
+    out = apply_stage(df, {"truncate": {"fields": "message", "length_bytes": 4}})
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].message == "abcd" and rows[2].message == "ab"
+
+
+def test_syslog_pri(spark):
+    df = spark.createDataFrame([(1, "165")], "id int, syslog_pri string")
+    r = apply_stage(df, {"syslog_pri": {}}).collect()[0]
+    assert r.syslog_facility_code == 20 and r.syslog_facility == "local4"
+    assert r.syslog_severity_code == 5 and r.syslog_severity == "notice"
+
+
+def test_uuid_deterministic(spark):
+    df = spark.createDataFrame([(1, "u1")], "id int, url string")
+    a = apply_stage(df, {"uuid": {"deterministic_from": "url"}}).collect()[0].uuid
+    b = apply_stage(df, {"uuid": {"deterministic_from": "url"}}).collect()[0].uuid
+    assert a == b and len(a.split("-")) == 5
+
+
+def test_ruby_vectorized_udf(spark):
+    df = spark.createDataFrame([(1, "abc")], "id int, message string")
+    out = apply_stage(
+        df,
+        {"ruby": {"code": lambda s: s.str.upper(), "source": "message", "target": "up"}},
+    )
+    assert out.collect()[0].up == "ABC"
+
+
+def test_de_dot(spark):
+    df = spark.createDataFrame([(1, "v")], ["id", "dotted.name"])
+    assert "dotted_name" in apply_stage(df, {"de_dot": {}}).columns
