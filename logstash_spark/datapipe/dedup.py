@@ -1,0 +1,322 @@
+"""Deduplication operators for web-scale corpora.
+
+Five families, each expressed shuffle-consciously:
+
+* exact        — hash-groupBy: one shuffle on the content fingerprint.
+* MinHash+LSH  — shingle → P minhashes → B band keys → bucket join;
+                 only same-bucket candidates get exact verification.
+                 All signature math is native (xxhash64/array exprs,
+                 whole-stage codegen); no Python in the hot path.
+* SimHash      — 64-bit signature from token hashes (numpy over
+                 Arrow batches), chunk-bucketed candidate join,
+                 hamming via native ``bit_count(a ^ b)``.
+* n-gram Jaccard — shingle-inverted-index blocking (explode → join on
+                 shared shingle) + exact Jaccard verify.
+* embedding    — random-hyperplane LSH buckets + exact cosine verify.
+
+Scale notes: every candidate-pair join is an equi-join on a bucket
+key (shuffle-partitionable, AQE-skew-splittable); nothing ever does a
+full cross-join. Dedup keeps the smallest id per duplicate group
+(greedy pair-drop — the standard near-dedup practice; a full
+connected-components pass is a documented extension).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per identical content (sha256 fingerprint)."""
+    fp = F.sha2(F.col(content_col), 256)
+    w = Window.partitionBy(fp).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------------------- shingles
+def word_shingles(col, k: int = 3):
+    """k-word shingles, fully native: split → sliding slices."""
+    words = F.split(F.trim(col), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.when(
+        n >= k,
+        F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+# --------------------------------------------------------- MinHash + LSH
+def minhash_signature(shingles_col, num_perm: int = 64):
+    """P minhashes: min over shingles of xxhash64(shingle, perm_seed).
+
+    One native expression per permutation — Catalyst fuses the lot into
+    a single codegen'd projection.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles_col, lambda s, p=p: F.xxhash64(s, F.lit(p))))
+            for p in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate pairs (a < b) sharing ≥1 LSH band bucket."""
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_k), num_perm).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ])
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs → pairs ≥ threshold."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return j
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Drop every doc that near-duplicates a smaller-id doc."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, shingle_k)
+    dups = jaccard_verify(df, cands, id_col, text_col, shingle_k, threshold)
+    to_drop = dups.select(F.col("b").alias(id_col)).distinct()
+    return df.join(to_drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------- SimHash
+def simhash_column(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash. Token hashes are computed natively
+    (xxhash64 per token); only the 64-bit majority vote runs in numpy
+    over Arrow batches (ragged bit unpack has no Column expression)."""
+    token_hashes = F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: F.xxhash64(w))
+
+    @F.pandas_udf("long")
+    def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            out = np.zeros(len(s), dtype=np.int64)
+            for i, hashes in enumerate(s):
+                if hashes is None or len(hashes) == 0:
+                    continue
+                h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                    np.int64
+                )
+                votes = bits.sum(axis=0) * 2 - len(h)
+                sig = np.uint64(0)
+                for j in np.nonzero(votes > 0)[0]:
+                    sig |= np.uint64(1) << np.uint64(j)
+                out[i] = np.int64(sig)
+            yield pd.Series(out, index=s.index)
+
+    return df.withColumn(out_col, _simhash(token_hashes))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash", max_hamming: int = 3
+) -> DataFrame:
+    """Chunk-bucketed candidate join: split the 64-bit sig into 4
+    16-bit chunks — any pair within hamming ≤ 3 shares ≥1 exact chunk
+    (pigeonhole). Hamming via native bit_count(a ^ b)."""
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(sim_col).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col(sim_col), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sig", "ck.chunk", "ck.val")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    with_sig = simhash_column(df, text_col)
+    dups = simhash_candidates(with_sig, id_col, "simhash", max_hamming)
+    to_drop = dups.select(F.col("b").alias(id_col)).distinct()
+    return df.join(to_drop, id_col, "left_anti")
+
+
+# --------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs ≥ threshold via inverted-index blocking: explode
+    shingles → equi-join on shingle → distinct candidate pairs → exact
+    Jaccard. Never a cross-join; the join key is the shingle itself."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    l, r = inv.alias("l"), inv.alias("r")
+    cands = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    return jaccard_verify(df, cands, id_col, text_col, shingle_k, threshold)
+
+
+# ------------------------------------------------- embedding near-dup
+def hyperplane_signature(emb_col, n_planes: int, dim: int, seed: int = 42):
+    """Random-hyperplane sign bits → one long. Planes are seeded numpy
+    constants baked into the plan (broadcast-free: they're literals)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bits = []
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.array(*[F.lit(float(x)) for x in planes[p]]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def cosine_sim(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup pairs: hyperplane-LSH bucket join + exact verify."""
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("emb"),
+        hyperplane_signature(F.col(emb_col), n_planes, dim, seed).alias("bucket"),
+    )
+    l, r = sig.alias("l"), sig.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            cosine_sim(F.col("l.emb"), F.col("r.emb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

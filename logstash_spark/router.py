@@ -1,0 +1,125 @@
+"""Conditional fan-out routing to sinks + dead-letter queue.
+
+Reference counterparts:
+* ``output { if … }`` branches — compiled as IfVertex/BooleanEdge over
+  output vertices (org/logstash/config/ir/graph/IfVertex.java,
+  BooleanEdge.java; DatasetCompiler#outputDataset). An event may match
+  several non-exclusive branches → one filter per branch predicate,
+  NOT an exclusive switch (SURVEY §2.5 centerpiece).
+* Dead-letter queue — org/logstash/common/io/DeadLetterQueueWriter.java
+  / DLQEntry.java: rejected events + reason metadata.
+* ``@metadata`` never serialized by outputs — Event.java METADATA;
+  mirrored by dropping ``_meta`` before every write.
+
+Spark decisions:
+* The routed DataFrame is persisted (MEMORY_AND_DISK) by the caller
+  before fan-out — Catalyst does NOT share subtrees across separate
+  write actions, so this is the one hand-rolled optimization the
+  reference's Dataset#compute memoization corresponds to (SURVEY §4).
+* Sinks write parquet partitioned by the ``bucket`` column with dynamic
+  partition overwrite → idempotent per-bucket writes (resume story).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .conditions import compile_condition
+from .fieldref import METADATA_FIELD, TAGS_FIELD
+
+# default DLQ predicate: any parse/enrich failure tag present
+DLQ_DEFAULT_CONDITION = "failure_tags_present"
+
+
+def failure_tag_predicate(df: DataFrame) -> Column:
+    if TAGS_FIELD not in df.columns:
+        return F.lit(False)
+    return F.exists(F.col(TAGS_FIELD), lambda t: t.endswith("failure") | t.endswith("_miss"))
+
+
+@dataclass
+class SinkSpec:
+    name: str
+    when: str | None = None  # None → unconditional (catch-all branch)
+    fmt: str = "parquet"
+    dlq: bool = False
+    select: list[str] | None = None  # optional projection per sink
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SinkSpec":
+        return cls(
+            name=d["name"],
+            when=d.get("when"),
+            fmt=d.get("format", "parquet"),
+            dlq=bool(d.get("dlq", False)),
+            select=d.get("select"),
+        )
+
+
+def dlq_projection(df: DataFrame) -> DataFrame:
+    """Map failed rows to the dead_letter schema (FIXTURES.md §5):
+    url, error_stage, error_reason, original(json), failed_ts."""
+    cols = df.columns
+    url = F.col("url") if "url" in cols else F.lit(None).cast("string")
+    tags = F.col(TAGS_FIELD) if TAGS_FIELD in cols else F.array().cast("array<string>")
+    fail_tags = F.filter(tags, lambda t: t.endswith("failure") | t.endswith("_miss"))
+    ts = (
+        F.col("event_ts")
+        if "event_ts" in cols
+        else (F.col("warc_ts") if "warc_ts" in cols else F.lit(None).cast("timestamp"))
+    )
+    payload = [c for c in cols if c not in (METADATA_FIELD, "bucket")]
+    out = df.select(
+        url.alias("url"),
+        F.element_at(fail_tags, 1).alias("error_stage"),
+        F.array_join(fail_tags, ",").alias("error_reason"),
+        F.to_json(F.struct(*payload)).alias("original"),
+        ts.alias("failed_ts"),
+        *([F.col("bucket")] if "bucket" in cols else []),
+    )
+    return out
+
+
+class Router:
+    def __init__(self, sinks: list[dict | SinkSpec]):
+        self.sinks = [s if isinstance(s, SinkSpec) else SinkSpec.from_dict(s) for s in sinks]
+
+    def branch(self, df: DataFrame, sink: SinkSpec) -> DataFrame:
+        if sink.dlq:
+            pred = (
+                failure_tag_predicate(df)
+                if sink.when in (None, DLQ_DEFAULT_CONDITION)
+                else compile_condition(sink.when, df)
+            )
+            return dlq_projection(df.filter(pred))
+        branch = df.filter(compile_condition(sink.when, df)) if sink.when else df
+        if METADATA_FIELD in branch.columns:
+            branch = branch.drop(METADATA_FIELD)
+        if sink.select:
+            keep = [c for c in sink.select if c in branch.columns]
+            if "bucket" in branch.columns and "bucket" not in keep:
+                keep.append("bucket")
+            branch = branch.select(*keep)
+        return branch
+
+    def write_batch(self, df: DataFrame, run_dir: str) -> dict[str, int]:
+        """Write every sink branch of an (already persisted) batch.
+
+        Returns per-sink row counts. Partitioned-by-bucket dynamic
+        overwrite keeps re-runs of the same batch idempotent.
+        """
+        counts: dict[str, int] = {}
+        for sink in self.sinks:
+            branch = self.branch(df, sink)
+            path = f"{run_dir}/{sink.name}"
+            writer = branch.write.format(sink.fmt).mode("overwrite")
+            if "bucket" in branch.columns:
+                writer = writer.partitionBy("bucket")
+            writer.save(path)
+            # count from what was just written? cheaper: branch is backed by
+            # the caller's persisted DF — count() reuses the cache.
+            counts[sink.name] = branch.count()
+        return counts

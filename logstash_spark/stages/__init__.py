@@ -5,3 +5,4 @@ from . import parse  # noqa: F401
 from . import mutate  # noqa: F401
 from . import enrich  # noqa: F401
 from . import flow  # noqa: F401
+from . import web  # noqa: F401

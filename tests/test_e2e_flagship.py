@@ -1,0 +1,170 @@
+"""North-rule end-to-end test (BASELINE.json / FIXTURES.md §5):
+
+(a) byte-identical extracted text per url vs the pure-Python oracle,
+(b) per-sink routed-row equality (order-insensitive) vs an independent
+    pandas-only reference implementation of the same pipeline,
+(c) per-sink counts == metrics JSON counts,
+(d) crash → resume from the checkpoint manifest reproduces the
+    single-run result exactly (idempotent per-bucket sinks).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import zlib
+from pathlib import Path
+from urllib.parse import urlparse
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from logstash_spark.datagen import (
+    TLDS,
+    USER_AGENTS,
+    gen_domain_dict,
+    gen_geo_ranges,
+    gen_pages,
+    gen_ua_rules,
+)
+from logstash_spark.extract import extract_text
+from logstash_spark.flagship import run_flagship
+
+N_PAGES = 400
+
+
+# ---------- the pandas-only reference implementation ----------
+def reference_pipeline(spark) -> pd.DataFrame:
+    pages = gen_pages(spark, N_PAGES).toPandas()
+    geo = gen_geo_ranges(spark, 500).toPandas().sort_values("ip_start_int")
+    ua_rules = gen_ua_rules(spark).toPandas().sort_values("priority")
+    ddict = gen_domain_dict(spark).toPandas().set_index("key")
+
+    rows = []
+    for _, r in pages.iterrows():
+        url = r["url"]
+        text = extract_text(r["html"])
+        parsed = urlparse(url)
+        domain, path = parsed.netloc, parsed.path
+        tld = None
+        for suf in sorted(TLDS, key=lambda s: -s.count(".")):
+            if domain.endswith("." + suf):
+                tld = suf
+                break
+        h = zlib.crc32(url.encode())
+        ip = f"{h % 223 + 1}.{(h >> 8) % 256}.{(h >> 16) % 256}.{(h >> 24) % 254 + 1}"
+        ip_int = sum(int(o) << (8 * (3 - i)) for i, o in enumerate(ip.split(".")))
+        gi = np.searchsorted(geo["ip_start_int"].to_numpy(), ip_int, side="right") - 1
+        grow = geo.iloc[gi] if gi >= 0 and ip_int <= geo.iloc[gi]["ip_end_int"] else None
+        agent = USER_AGENTS[zlib.crc32((url + "#ua").encode()) % len(USER_AGENTS)]
+        ua = None
+        for _, rule in ua_rules.iterrows():
+            if re.search(rule["pattern"], agent):
+                ua = (rule["name"], rule["os"], rule["device"])
+                break
+        dom = ddict.loc[domain] if domain in ddict.index else None
+        tags = [] if dom is not None else ["_translation_miss"]
+        fingerprint = hashlib.sha256((url + "|" + text).encode()).hexdigest()
+        rows.append(
+            {
+                "url": url, "text": text, "domain": domain, "path": path, "tld": tld,
+                "ip": ip, "country": None if grow is None else grow["country"],
+                "ua_name": None if ua is None else ua[0],
+                "trust": None if dom is None else dom["trust"],
+                "category": None if dom is None else dom["category"],
+                "fingerprint": fingerprint, "lang": r["lang"], "tags": tags,
+                "event_ts": r["warc_ts"],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def expected_sinks(ref: pd.DataFrame) -> dict[str, set]:
+    return {
+        "sink_en": set(ref[ref.lang == "en"].url),
+        "sink_i18n": set(ref[(ref.lang != "en") & (ref.lang != "und")].url),
+        "sink_highvalue": set(ref[ref.trust.notna() & (ref.trust > 0.8)].url),
+        "dead_letter": set(ref[ref.tags.map(len) > 0].url),
+    }
+
+
+@pytest.fixture(scope="module")
+def run(spark, tmp_path_factory):
+    run_dir = str(tmp_path_factory.mktemp("flagship"))
+    pages = gen_pages(spark, N_PAGES)
+    metrics = run_flagship(spark, pages, run_dir, n_buckets=16, n_batches=1)
+    ref = reference_pipeline(spark)
+    return run_dir, metrics, ref
+
+
+def test_routed_row_equality(spark, run):
+    run_dir, _, ref = run
+    exp = expected_sinks(ref)
+    for sink, expected_urls in exp.items():
+        got = set(r.url for r in spark.read.parquet(f"{run_dir}/{sink}").collect())
+        assert got == expected_urls, f"{sink}: routed-row mismatch"
+
+
+def test_byte_identical_text_and_enrichment(spark, run):
+    run_dir, _, ref = run
+    got = spark.read.parquet(f"{run_dir}/sink_en").toPandas().set_index("url")
+    refi = ref.set_index("url")
+    for url in got.index:
+        assert got.loc[url, "text"].encode() == refi.loc[url, "text"].encode()
+        assert got.loc[url, "fingerprint"] == refi.loc[url, "fingerprint"]
+        assert got.loc[url, "ip"] == refi.loc[url, "ip"]
+        assert got.loc[url, "geo"]["country"] == refi.loc[url, "country"]
+        assert got.loc[url, "ua"]["name"] == refi.loc[url, "ua_name"]
+        assert got.loc[url, "tld"] == refi.loc[url, "tld"]
+
+
+def test_metrics_match_sink_counts(spark, run):
+    run_dir, metrics, ref = run
+    exp = expected_sinks(ref)
+    stats = json.loads(Path(run_dir, "metrics.json").read_text())
+    ev = stats["events"]
+    assert ev["in"] == N_PAGES
+    assert ev["filtered"] == N_PAGES
+    assert ev["out"] == sum(len(v) for v in exp.values())
+    outs = {
+        o["id"]: o["events"]["out"]
+        for o in stats["pipelines"]["web_pages"]["plugins"]["outputs"]
+    }
+    for sink, urls in exp.items():
+        assert outs[sink] == len(urls)
+        n_files = spark.read.parquet(f"{run_dir}/{sink}").count()
+        assert n_files == len(urls)
+
+
+def test_dead_letter_schema(spark, run):
+    run_dir, _, _ = run
+    dlq = spark.read.parquet(f"{run_dir}/dead_letter")
+    assert set(dlq.columns) == {"url", "error_stage", "error_reason", "original",
+                                "failed_ts", "bucket"}
+    r = dlq.collect()[0]
+    assert r.error_stage == "_translation_miss"
+    assert json.loads(r.original)["url"] == r.url
+
+
+def test_crash_resume_equals_single_run(spark, tmp_path):
+    pages = gen_pages(spark, 300)
+    single = str(tmp_path / "single")
+    run_flagship(spark, pages, single, n_buckets=8, n_batches=4)
+
+    resumed = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_flagship(spark, pages, resumed, n_buckets=8, n_batches=4,
+                     _fail_after_batch=1)
+    # manifest has acked batches 0..1; resume completes 2..3
+    m2 = run_flagship(spark, pages, resumed, n_buckets=8, n_batches=4, resume=True)
+
+    for sink in ("sink_en", "sink_i18n", "sink_highvalue", "dead_letter"):
+        a = set(r.url for r in spark.read.parquet(f"{single}/{sink}").collect())
+        b = set(r.url for r in spark.read.parquet(f"{resumed}/{sink}").collect())
+        assert a == b, f"resume mismatch in {sink}"
+    stats_single = json.loads(Path(single, "metrics.json").read_text())["events"]
+    stats_resumed = json.loads(Path(resumed, "metrics.json").read_text())["events"]
+    assert stats_single["in"] == stats_resumed["in"]
+    assert stats_single["out"] == stats_resumed["out"]
