@@ -1,0 +1,125 @@
+"""Text analysis for training-data curation — all native expressions.
+
+Every function here returns Column expressions (or a DataFrame built
+from them) that stay inside whole-stage codegen: no UDFs, so the same
+logic is trivially SQL-expressible for the DuckDB oracle.
+
+* language-ID: marker-stopword-count heuristic (argmax over per-lang
+  hit counts).
+* quality score: length / punctuation ratio / stopword ratio /
+  mean word length — a FineWeb-style composite in [0, 1].
+* token counting: whitespace tokens + a BPE-ish regex token count.
+* fingerprinting: polynomial rolling hash over tokens (crc32 per token,
+  31-multiplier accumulate — wraps in int64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour", "que", "des"],
+    "es": ["el", "la", "los", "y", "es", "una", "en", "por", "que", "con"],
+    "it": ["il", "la", "di", "e", "che", "un", "per", "non", "con", "sono"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "was", "are", "be", "on", "as", "at", "this"]
+
+# BPE-ish tokenizer: word pieces, numbers, or single non-space symbols —
+# the classic GPT-2-style pre-tokenization regex, simplified.
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def whitespace_token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(words(col)))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_REGEX), F.lit(0)))
+
+
+def lang_hit_count(col: Column, lang: str) -> Column:
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(words(col), lambda w: w.isin(*markers)))
+
+
+def detect_language(col: Column, min_hits: int = 1) -> Column:
+    """argmax over marker-hit counts; ties broken by fixed lang order;
+    below min_hits → 'und'."""
+    counts = {lang: lang_hit_count(col, lang) for lang in LANG_MARKERS}
+    best = None
+    for lang, cnt in counts.items():
+        if best is None:
+            best = F.when(cnt >= min_hits, F.lit(lang)).otherwise(F.lit("und"))
+            best_cnt = cnt
+        else:
+            cond = (cnt >= min_hits) & (cnt > best_cnt)
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_cnt = F.greatest(best_cnt, cnt)
+    return best
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    ws = words(col)
+    n = F.size(ws)
+    hits = F.size(F.filter(ws, lambda w: w.isin(*EN_STOPWORDS)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column) -> Column:
+    ws = words(col)
+    return F.when(
+        F.size(ws) > 0,
+        F.aggregate(ws, F.lit(0.0), lambda acc, w: acc + F.length(w)) / F.size(ws),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite in [0,1]: length band + sane mean word length + low
+    punctuation + nonzero stopword presence. Deterministic, heuristic,
+    SQL-expressible — the point is plumbing, not linguistics."""
+    n_tok = whitespace_token_count(col)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(
+        F.when(n_tok > 0, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    mwl = mean_word_len(col)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(col) > 0.0, F.lit(0.1)).otherwise(F.lit(0.0))
+    return F.round(len_ok + mwl_ok + punct_ok + stop_ok, 2)
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Polynomial rolling hash over tokens: acc*31 + crc32(token),
+    wrapping in int64 — order-sensitive (unlike a bag-of-words hash)."""
+    return F.aggregate(
+        words(col),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc * F.lit(31).cast("long") + F.crc32(F.encode(w, "UTF-8")).cast("long"),
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": whitespace_token_count(c),
+            "n_bpe_tokens": bpe_ish_token_count(c),
+            "lang_detected": detect_language(c),
+            "quality": quality_score(c),
+            "fingerprint_rolling": rolling_fingerprint(c),
+        }
+    )

@@ -1,0 +1,145 @@
+"""Training-data ops: dedup / similarity / textstats / multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_spark.datapipe import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),  # near dup of 0
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "der schnelle braune fuchs springt über den faulen hund und rennt"),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 2, 3, 4, 5]  # 1 dropped (exact dup of 0)
+
+
+def test_minhash_dedup(docs):
+    pairs = dedup.minhash_lsh_candidates(docs, num_perm=32, bands=16)
+    cand = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 1) in cand  # identical docs always collide
+    out = dedup.minhash_dedup(docs, threshold=0.5, num_perm=32, bands=16)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 1 not in ids and 0 in ids and 3 in ids
+    assert 2 not in ids  # near-dup above 0.5 jaccard
+
+
+def test_simhash_dedup(docs):
+    sig = dedup.simhash_column(docs)
+    vals = {r.doc_id: r.simhash for r in sig.collect()}
+    assert vals[0] == vals[1]
+    pairs = dedup.simhash_candidates(sig, max_hamming=3)
+    got = {(r.a, r.b): r.hamming for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    out = dedup.simhash_dedup(docs, max_hamming=3)
+    assert 1 not in {r.doc_id for r in out.collect()}
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r.a, r.b): r.jaccard for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) in got and 0.5 <= got[(0, 2)] < 1.0
+    assert (0, 3) not in got
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.default_rng(7)
+    v0 = rng.standard_normal(8)
+    v1 = v0 + rng.standard_normal(8) * 0.01  # near-dup
+    v2 = rng.standard_normal(8)
+    rows = [(0, [float(x) for x in v0]), (1, [float(x) for x in v1]),
+            (2, [float(x) for x in v2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_neardup_pairs(df, dim=8, threshold=0.95, n_planes=6)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) not in got
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_cosine_topk_exact(embeddings):
+    qv = embeddings.filter(F.col("vec_id") == 0).collect()[0].embedding
+    top = similarity.cosine_topk(embeddings, qv, k=5).collect()
+    assert top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-6
+    assert len(top) == 5
+    assert all(top[i].cosine >= top[i + 1].cosine for i in range(4))
+
+
+def test_ann_lsh_recall(embeddings):
+    qv = embeddings.filter(F.col("vec_id") == 0).collect()[0].embedding
+    exact = [r.vec_id for r in similarity.cosine_topk(embeddings, qv, k=10).collect()]
+    approx = [r.vec_id for r in similarity.ann_lsh_topk(
+        embeddings, qv, k=10, n_planes=6, multiprobe=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert approx[0] == 0  # the query vector itself always found
+    assert recall >= 0.5
+
+
+def test_ann_ivf_recall(embeddings):
+    qv = embeddings.filter(F.col("vec_id") == 0).collect()[0].embedding
+    exact = [r.vec_id for r in similarity.cosine_topk(embeddings, qv, k=10).collect()]
+    approx = [r.vec_id for r in similarity.ann_ivf_topk(
+        embeddings, qv, k=10, n_centroids=8, nprobe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert approx[0] == 0
+    assert recall >= 0.5
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The cat and the dog sat in the house with the mouse."),
+            (2, "Der Hund und die Katze sind nicht auf der Straße mit dem Auto."),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.text_stats(df).collect()}
+    assert out[1].lang_detected == "en"
+    assert out[2].lang_detected == "de"
+    assert out[3].lang_detected == "und"
+    assert out[1].n_tokens == 12
+    assert out[1].n_bpe_tokens == 13  # 12 words + final period... plus inner period
+    assert 0 <= out[1].quality <= 1
+    assert out[3].n_tokens == 0 and out[3].quality <= 0.3
+    # rolling hash is order-sensitive
+    df2 = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a")], "doc_id long, text string"
+    )
+    fps = [r.fingerprint_rolling for r in textstats.text_stats(df2).collect()]
+    assert fps[0] != fps[1]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.gen_media(spark, 24)
+    assert media.count() == 24
+    feats = multimodal.decode_images(media)
+    rows = feats.collect()
+    assert len(rows) == 8  # every third row is an image
+    r = rows[0]
+    assert r.channels == 3 and len(r.embedding) == 16 and r.decoder == "fake-sha256"
+    # determinism: same payload → same fake embedding
+    again = {x.doc_id: x.embedding for x in multimodal.decode_images(media).collect()}
+    assert again[r.doc_id] == r.embedding
+    frames = multimodal.sample_frames(media)
+    assert frames.count() > 0
+    assert frames.columns == ["doc_id", "frame_idx", "frame_payload", "decoder"]
