@@ -1,0 +1,154 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline workloads:
+
+* ``flagship_e2e``   — the north-rule pipeline (extract html→text, url
+  parse, tld, geoip range join, useragent, translate, fingerprint,
+  fan-out route to 3 sinks + DLQ with per-sink counts) over a
+  deterministic synthetic pages table (seed 42), parquet-staged so the
+  bench measures the pipeline, not the generator.
+* ``apache_grok_complex`` — grok COMBINEDAPACHELOG + date + geoip +
+  useragent over synthetic Apache access logs: the Spark re-expression
+  of the reference's benchmark-cli `apache` case
+  (tools/benchmark-cli/.../cases/ApacheLogsComplex.java).
+* relational / dedup / similarity / textstats headliners from the
+  driver suite at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default all cores), BENCH_PAGES (default 60000),
+BENCH_LOGS (default 300000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_PAGES = int(os.environ.get("BENCH_PAGES", "60000"))
+N_LOGS = int(os.environ.get("BENCH_LOGS", "300000"))
+STAGE_DIR = os.environ.get("BENCH_STAGE_DIR", "/tmp/logstash_spark_bench")
+
+
+def _sf_from_dir(d: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def stage_inputs(spark):
+    """Generate deterministic inputs once; reuse across bench runs."""
+    from logstash_spark.datagen import gen_access_logs, gen_pages
+
+    pages_path = f"{STAGE_DIR}/pages_{N_PAGES}"
+    logs_path = f"{STAGE_DIR}/logs_{N_LOGS}"
+    if not os.path.exists(pages_path + "/_SUCCESS"):
+        gen_pages(spark, N_PAGES).write.mode("overwrite").parquet(pages_path)
+    if not os.path.exists(logs_path + "/_SUCCESS"):
+        gen_access_logs(spark, N_LOGS).write.mode("overwrite").parquet(logs_path)
+    return pages_path, logs_path
+
+
+def bench_flagship(spark, pages_path):
+    from logstash_spark.flagship import run_flagship
+
+    pages = spark.read.parquet(pages_path)
+    run_dir = f"{STAGE_DIR}/flagship_run"
+    metrics = run_flagship(spark, pages, run_dir, n_buckets=64, n_batches=1)
+    assert metrics.events_in == N_PAGES, metrics.events_in
+    return metrics
+
+
+def bench_apache(spark, logs_path):
+    from pyspark.sql import functions as F
+
+    from logstash_spark.datagen import gen_geo_ranges, gen_ua_rules
+    from logstash_spark.stages.base import apply_stage
+
+    logs = spark.read.parquet(logs_path)
+    df = apply_stage(logs, {"grok": {"match": {"message": "%{COMBINEDAPACHELOG}"}}})
+    df = apply_stage(
+        df, {"date": {"match": ["timestamp", "dd/MMM/yyyy:HH:mm:ss Z"],
+                      "target": "event_ts"}}
+    )
+    df = apply_stage(
+        df, {"geoip": {"source": "clientip", "ranges_df": gen_geo_ranges(spark, 500),
+                       "strategy": "binary_search"}}
+    )
+    df = apply_stage(df, {"useragent": {"source": "agent", "rules_df": gen_ua_rules(spark)}})
+    # force full evaluation of every enriched column
+    n = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("event_ts").alias("n_ts"),
+        F.count("geo.country").alias("n_geo"),
+        F.count("ua.name").alias("n_ua"),
+    ).collect()[0]
+    assert n["n"] == N_LOGS
+    return dict(n.asDict())
+
+
+def main():
+    from logstash_spark.session import get_spark
+    from logstash_spark import suite
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = f"local[{cpus}]" if cpus else None
+    spark = get_spark(
+        "bench", master=master,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages_path, logs_path = stage_inputs(spark)
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    timed("flagship_e2e", lambda: bench_flagship(spark, pages_path))
+    extra["flagship_docs_per_sec"] = round(N_PAGES / timings["flagship_e2e"], 1)
+
+    timed("apache_grok_complex", lambda: bench_apache(spark, logs_path))
+    extra["apache_events_per_sec"] = round(N_LOGS / timings["apache_grok_complex"], 1)
+
+    suite_queries = [
+        "pricing_summary",
+        "top_customers",
+        "events_daily_rollup",
+        "route_sink_counts",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "textstats_quality",
+        "similarity_cosine_topk",
+        "similarity_ann_lsh",
+    ]
+    for name in suite_queries:
+        fn = suite.QUERIES[name]
+        timed(name, lambda f=fn: f(spark, SF_DIR).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "throughput": extra,
+        "n_pages": N_PAGES,
+        "n_logs": N_LOGS,
+        "parallelism": spark.sparkContext.defaultParallelism,
+    }))
+
+
+if __name__ == "__main__":
+    main()

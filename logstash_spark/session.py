@@ -67,4 +67,26 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship the engine package to executor Python workers.
+
+    Equivalent of ``spark-submit --py-files logstash_spark.zip``: makes
+    every pandas-UDF closure that references package modules importable
+    on workers regardless of driver cwd — required on a real cluster,
+    and also when the driver script runs outside the repo root.
+    """
+    import shutil
+    import tempfile
+
+    import logstash_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(logstash_spark.__file__))
+    root = os.path.dirname(pkg_dir)
+    base = os.path.join(tempfile.gettempdir(), "logstash_spark_pkg")
+    zip_path = shutil.make_archive(base, "zip", root_dir=root, base_dir="logstash_spark")
+    spark.sparkContext.addPyFile(zip_path)

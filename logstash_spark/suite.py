@@ -1,0 +1,911 @@
+"""Driver-contract query suite: engine queries + DuckDB oracle SQL.
+
+Every entry exercises one operator family from SURVEY.md §2 through the
+REAL engine code path (stage classes / datapipe functions), over the
+driver's parquet tables (region nation customer supplier part orders
+lineitem events documents embeddings). For each query there is an
+ANSI-SQL oracle that DuckDB runs on the same tables; the driver compares
+row counts, schemas and order-insensitive value hashes.
+
+Float discipline (so hashes match bit-for-bit):
+* money/metrics sums are computed in integer cents/micros on BOTH sides
+  (``round(x*100)::long`` / ``floor(x*1e6)::long``) — no FP-summation
+  order dependence;
+* ratios divide exact ints (identical IEEE doubles on both engines);
+* cosine similarity replicates the engine's left-fold summation order
+  in SQL (list_reduce with a prepended 0.0) and rounds to 6;
+* query vectors use only binary-exact literals (1.0 / 0.5 / -0.25).
+
+Queries with no SQL-expressible oracle (seeded LSH/IVF/minhash/simhash,
+crc32-based fingerprints) are registered without an oracle entry — the
+driver records a rows-only check for them, per the contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .conditions import compile_condition
+from .datapipe.dedup import exact_dedup, minhash_dedup, ngram_jaccard_pairs, simhash_dedup
+from .datapipe.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
+from .datapipe.textstats import (
+    BPE_ISH_REGEX,
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    detect_language,
+    quality_score,
+    rolling_fingerprint,
+    whitespace_token_count,
+    bpe_ish_token_count,
+)
+from .stages.base import apply_stage, build_stage
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_msg(spark, sf_dir, expr) -> DataFrame:
+    return _t(spark, sf_dir, "events").withColumn("message", expr)
+
+
+# ---------------------------------------------------------------------------
+# Parse family (SURVEY §2.4: grok, dissect, kv, json, csv, date)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "grok_multi_capture",
+    """
+    SELECT event_id, event_type AS etype, CAST(user_id AS VARCHAR) AS uid
+    FROM events
+    """,
+)
+def grok_multi_capture(spark, sf_dir):
+    """grok with 2 named captures → vectorized str.extract pandas-UDF path."""
+    ev = _events_msg(
+        spark, sf_dir,
+        F.concat(F.col("event_type"), F.lit(" id="), F.col("user_id").cast("string")),
+    )
+    out = apply_stage(ev, {"grok": {"match": {"message": "%{WORD:etype} id=%{INT:uid}"}}})
+    return out.select("event_id", "etype", "uid")
+
+
+@_q(
+    "grok_single_native",
+    "SELECT event_id, CAST(user_id AS VARCHAR) AS uid FROM events",
+)
+def grok_single_native(spark, sf_dir):
+    """Single-capture grok lowers to native F.regexp_extract (JVM codegen)."""
+    ev = _events_msg(
+        spark, sf_dir, F.concat(F.lit("id="), F.col("user_id").cast("string"))
+    )
+    out = apply_stage(ev, {"grok": {"match": {"message": "id=%{INT:uid}"}}})
+    return out.select("event_id", "uid")
+
+
+@_q(
+    "dissect_tokens",
+    """
+    SELECT event_id, event_type AS etype, CAST(user_id AS VARCHAR) AS uid,
+           CAST(event_id AS VARCHAR) AS eid
+    FROM events
+    """,
+)
+def dissect_tokens(spark, sf_dir):
+    ev = _events_msg(
+        spark, sf_dir,
+        F.concat_ws(
+            "|", F.col("event_type"), F.col("user_id").cast("string"),
+            F.col("event_id").cast("string"),
+        ),
+    )
+    out = apply_stage(ev, {"dissect": {"mapping": {"message": "%{etype}|%{uid}|%{eid}"}}})
+    return out.select("event_id", "etype", "uid", "eid")
+
+
+@_q(
+    "kv_pairs",
+    """
+    SELECT event_id, event_type AS ktype, CAST(user_id AS VARCHAR) AS kuid
+    FROM events
+    """,
+)
+def kv_pairs(spark, sf_dir):
+    ev = _events_msg(
+        spark, sf_dir,
+        F.concat(
+            F.lit("type="), F.col("event_type"),
+            F.lit(" uid="), F.col("user_id").cast("string"),
+        ),
+    )
+    out = apply_stage(ev, {"kv": {"source": "message"}})
+    return out.select(
+        "event_id",
+        F.col("attrs")["type"].alias("ktype"),
+        F.col("attrs")["uid"].alias("kuid"),
+    )
+
+
+@_q(
+    "json_parse",
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events",
+)
+def json_parse(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(ev, {"json": {"source": "props", "schema": "k int", "target": "pp"}})
+    return out.select("event_id", F.col("pp.k").alias("k"))
+
+
+@_q(
+    "csv_parse",
+    """
+    SELECT event_id, event_type AS etype, user_id AS uid FROM events
+    """,
+)
+def csv_parse(spark, sf_dir):
+    ev = _events_msg(
+        spark, sf_dir,
+        F.concat_ws(",", F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    out = apply_stage(
+        ev,
+        {"csv": {"source": "message", "columns": ["etype", "uid"],
+                 "convert": {"uid": "long"}}},
+    )
+    return out.select("event_id", "etype", "uid")
+
+
+@_q(
+    "date_multiformat",
+    """
+    WITH d AS (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0
+                  THEN strftime(ts, '%Y/%m/%d %H:%M:%S')
+                  ELSE strftime(ts, '%d-%m-%Y %H:%M:%S') END AS datestr
+      FROM events
+    )
+    SELECT event_id,
+           COALESCE(try_strptime(datestr, '%Y/%m/%d %H:%M:%S'),
+                    try_strptime(datestr, '%d-%m-%Y %H:%M:%S')) AS event_ts
+    FROM d
+    """,
+)
+def date_multiformat(spark, sf_dir):
+    """date filter: per-format fallback coalesce (date.rb semantics)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "datestr",
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(2)) == 0,
+            F.date_format("ts", "yyyy/MM/dd HH:mm:ss"),
+        ).otherwise(F.date_format("ts", "dd-MM-yyyy HH:mm:ss")),
+    )
+    out = apply_stage(
+        ev,
+        {"date": {"match": ["datestr", "yyyy/MM/dd HH:mm:ss", "dd-MM-yyyy HH:mm:ss"],
+                  "target": "event_ts"}},
+    )
+    return out.select("event_id", "event_ts")
+
+
+# ---------------------------------------------------------------------------
+# Mutate family
+# ---------------------------------------------------------------------------
+
+@_q(
+    "mutate_chain",
+    """
+    SELECT event_id,
+           upper(replace(event_type, 'i', '1')) AS etype,
+           upper(replace(event_type, 'i', '1')) AS etype2,
+           CAST(user_id AS VARCHAR) AS user_id
+    FROM events
+    """,
+)
+def mutate_chain(spark, sf_dir):
+    """mutate op-order parity: rename → convert → gsub → uppercase → copy."""
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(
+        ev,
+        {"mutate": {
+            "rename": {"event_type": "etype"},
+            "convert": {"user_id": "string"},
+            "gsub": ["etype", "i", "1"],
+            "uppercase": ["etype"],
+            "copy": {"etype": "etype2"},
+        }},
+    )
+    return out.select("event_id", "etype", "etype2", "user_id")
+
+
+@_q(
+    "sprintf_add_field",
+    """
+    SELECT event_id, event_type || '-' || CAST(user_id AS VARCHAR) AS summary
+    FROM events
+    """,
+)
+def sprintf_add_field(spark, sf_dir):
+    """common option add_field with %{field} sprintf interpolation."""
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(
+        ev, {"mutate": {"add_field": {"summary": "%{event_type}-%{user_id}"}}}
+    )
+    return out.select("event_id", "summary")
+
+
+@_q(
+    "translate_inline",
+    """
+    SELECT event_id,
+           CASE event_type
+             WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+             WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
+             ELSE 'other' END AS category
+    FROM events
+    """,
+)
+def translate_inline(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(
+        ev,
+        {"translate": {"source": "event_type", "target": "category",
+                       "dictionary": {"click": "engagement", "view": "engagement",
+                                      "purchase": "revenue", "signup": "growth"},
+                       "fallback": "other"}},
+    )
+    return out.select("event_id", "category")
+
+
+@_q(
+    "fingerprint_hashes",
+    """
+    SELECT event_id,
+           sha256(event_type || '|' || CAST(user_id AS VARCHAR)) AS fp_sha,
+           md5(event_type || '|' || CAST(user_id AS VARCHAR)) AS fp_md5
+    FROM events
+    """,
+)
+def fingerprint_hashes(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(
+        ev, {"fingerprint": {"source": ["event_type", "user_id"],
+                             "method": "SHA256", "target": "fp_sha"}}
+    )
+    out = apply_stage(
+        out, {"fingerprint": {"source": ["event_type", "user_id"],
+                              "method": "MD5", "target": "fp_md5"}}
+    )
+    return out.select("event_id", "fp_sha", "fp_md5")
+
+
+@_q(
+    "urldecode_field",
+    """
+    SELECT event_id, event_type || ' ' || CAST(user_id AS VARCHAR) AS message
+    FROM events
+    """,
+)
+def urldecode_field(spark, sf_dir):
+    ev = _events_msg(
+        spark, sf_dir,
+        F.concat(F.col("event_type"), F.lit("%20"), F.col("user_id").cast("string")),
+    )
+    out = apply_stage(ev, {"urldecode": {"field": "message"}})
+    return out.select("event_id", "message")
+
+
+@_q(
+    "truncate_bytes",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) > 50 THEN substring(text, 1, 50) ELSE text END AS text
+    FROM documents
+    """,
+)
+def truncate_bytes(spark, sf_dir):
+    # documents text is all-ASCII in the fixture → byte-truncation ≡ chars
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = apply_stage(docs, {"truncate": {"length_bytes": 50, "fields": ["text"]}})
+    return out.select("doc_id", "text")
+
+
+@_q(
+    "prune_whitelist",
+    "SELECT event_id, event_type FROM events",
+)
+def prune_whitelist(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return apply_stage(ev, {"prune": {"whitelist_names": ["^event_id$", "^event_type$"]}})
+
+
+@_q(
+    "syslog_pri_decode",
+    """
+    SELECT event_id,
+           CAST(user_id % 192 AS INT) AS pri,
+           CAST((user_id % 192) // 8 AS INT) AS syslog_facility_code,
+           CAST((user_id % 192) % 8 AS INT) AS syslog_severity_code,
+           (['kernel','user-level','mail','daemon','security/authorization',
+             'syslogd','line printer','network news','uucp','clock',
+             'security/authorization','ftp','ntp','log audit','log alert',
+             'clock','local0','local1','local2','local3','local4','local5',
+             'local6','local7'])[CAST((user_id % 192) // 8 AS INT) + 1]
+             AS syslog_facility,
+           (['emergency','alert','critical','error','warning','notice',
+             'informational','debug'])[CAST((user_id % 192) % 8 AS INT) + 1]
+             AS syslog_severity
+    FROM events
+    """,
+)
+def syslog_pri_decode(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "syslog_pri", F.pmod(F.col("user_id"), F.lit(192)).cast("int")
+    )
+    out = apply_stage(ev, {"syslog_pri": {}})
+    return out.select(
+        "event_id",
+        F.col("syslog_pri").alias("pri"),
+        "syslog_facility_code", "syslog_severity_code",
+        "syslog_facility", "syslog_severity",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Enrich family (broadcast lookups / range joins)
+# ---------------------------------------------------------------------------
+
+_IP_MULT = 2654435761  # Knuth multiplicative hash → deterministic synthetic ip
+_GEO_ORACLE = """
+    WITH ip AS (
+      SELECT event_id, (user_id * 2654435761) % 4294967296 AS ip_int FROM events
+    )
+    SELECT event_id, 'C' || CAST(ip_int // 16777216 AS VARCHAR) AS country FROM ip
+"""
+
+
+def _with_synth_ip(ev: DataFrame) -> DataFrame:
+    ip_int = F.pmod(F.col("user_id") * F.lit(_IP_MULT), F.lit(4294967296))
+    octets = [
+        F.pmod(F.shiftright(ip_int, 24), F.lit(256)),
+        F.pmod(F.shiftright(ip_int, 16), F.lit(256)),
+        F.pmod(F.shiftright(ip_int, 8), F.lit(256)),
+        F.pmod(ip_int, F.lit(256)),
+    ]
+    return ev.withColumn("ip", F.concat_ws(".", *[o.cast("string") for o in octets]))
+
+
+def _geo_slabs(spark: SparkSession) -> DataFrame:
+    rows = [
+        (k * 2**24, (k + 1) * 2**24 - 1, f"C{k}", f"city{k}", float(k), float(-k))
+        for k in range(256)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "ip_start_int long, ip_end_int long, country string, city string, "
+        "lat double, lon double",
+    )
+
+
+@_q("geoip_broadcast_range", _GEO_ORACLE)
+def geoip_broadcast_range(spark, sf_dir):
+    """geoip as a native broadcast range join (BroadcastNestedLoop BETWEEN)."""
+    ev = _with_synth_ip(_t(spark, sf_dir, "events"))
+    out = apply_stage(
+        ev, {"geoip": {"source": "ip", "ranges_df": _geo_slabs(spark),
+                       "strategy": "broadcast_range"}}
+    )
+    return out.select("event_id", F.col("geo.country").alias("country"))
+
+
+@_q("geoip_binary_search", _GEO_ORACLE)
+def geoip_binary_search(spark, sf_dir):
+    """geoip via broadcast sorted arrays + vectorized np.searchsorted."""
+    ev = _with_synth_ip(_t(spark, sf_dir, "events"))
+    out = apply_stage(
+        ev, {"geoip": {"source": "ip", "ranges_df": _geo_slabs(spark),
+                       "strategy": "binary_search"}}
+    )
+    return out.select("event_id", F.col("geo.country").alias("country"))
+
+
+@_q(
+    "cidr_match",
+    f"""
+    WITH ip AS (
+      SELECT event_id, (user_id * {_IP_MULT}) % 4294967296 AS ip_int FROM events
+    )
+    SELECT event_id,
+           (ip_int BETWEEN {10 * 2**24} AND {11 * 2**24 - 1})
+           OR (ip_int BETWEEN {8 * 2**28} AND {9 * 2**28 - 1}) AS in_network
+    FROM ip
+    """,
+)
+def cidr_match(spark, sf_dir):
+    ev = _with_synth_ip(_t(spark, sf_dir, "events"))
+    out, matched = build_stage(
+        {"cidr": {"address": "ip", "network": ["10.0.0.0/8", "128.0.0.0/4"]}}
+    ).transform(ev)
+    return out.select("event_id", F.col("__matched").alias("in_network"))
+
+
+# ---------------------------------------------------------------------------
+# Flow family (drop/clone/split/throttle/aggregate/metrics/multiline)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "drop_condition",
+    "SELECT event_id FROM events WHERE NOT (value < 50)",
+)
+def drop_condition(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(ev, {"drop": {"when": "[value] < 50"}})
+    return out.select("event_id")
+
+
+@_q(
+    "clone_events",
+    """
+    SELECT event_id, CAST(NULL AS VARCHAR) AS type FROM events
+    UNION ALL
+    SELECT event_id, 'replica' AS type FROM events
+    """,
+)
+def clone_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(ev, {"clone": {"clones": ["replica"]}})
+    return out.select("event_id", "type")
+
+
+@_q(
+    "split_words",
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents",
+)
+def split_words(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = apply_stage(
+        docs, {"split": {"field": "text", "terminator": " ", "target": "word"}}
+    )
+    return out.select("doc_id", "word")
+
+
+@_q(
+    "throttle_rate",
+    """
+    SELECT event_id,
+           row_number() OVER (
+             PARTITION BY event_type, time_bucket(INTERVAL '3600 seconds', ts)
+             ORDER BY ts
+           ) > 5 AS throttled
+    FROM events
+    """,
+)
+def throttle_rate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out, matched = build_stage(
+        {"throttle": {"key": "event_type", "period": 3600, "after_count": 5,
+                      "timestamp_field": "ts"}}
+    ).transform(ev)
+    return out.select("event_id", F.col("__matched").alias("throttled"))
+
+
+@_q(
+    "aggregate_by_task",
+    """
+    SELECT user_id, SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS total_micros,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def aggregate_by_task(spark, sf_dir):
+    """aggregate filter: per-task_id reduce via applyInPandas (keys = the
+    parallel unit, unlike the reference's workers=1 constraint)."""
+    import numpy as np
+    import pandas as pd
+
+    def reduce_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        micros = np.floor(pdf["value"].to_numpy() * 1e6).astype("int64")
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]],
+             "total_micros": [int(micros.sum())],
+             "n": [len(pdf)]}
+        )
+
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(
+        ev,
+        {"aggregate": {"task_id": "user_id", "code": reduce_fn,
+                       "schema": "user_id long, total_micros long, n long"}},
+    )
+    return out
+
+
+@_q(
+    "metrics_meter",
+    """
+    SELECT event_type AS meter,
+           time_bucket(INTERVAL '3600 seconds', ts) AS window_start,
+           count(*) AS count,
+           count(*) / 3600.0 AS rate
+    FROM events GROUP BY 1, 2
+    """,
+)
+def metrics_meter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out, _ = build_stage(
+        {"metrics": {"meter": "event_type", "flush_interval": 3600,
+                     "timestamp_field": "ts"}}
+    ).transform(ev)
+    return out.select("meter", "window_start", "count", "rate")
+
+
+@_q(
+    "multiline_merge",
+    """
+    WITH lines AS (
+      SELECT user_id % 5 AS stream, event_id AS eid,
+             CASE WHEN value < 50 THEN ' ' || event_type ELSE event_type END AS message
+      FROM events
+    ), g AS (
+      SELECT stream, eid, message,
+             SUM(CASE WHEN regexp_matches(message, '^\\s') THEN 0 ELSE 1 END)
+               OVER (PARTITION BY stream ORDER BY eid) AS grp
+      FROM lines
+    )
+    SELECT stream, min(eid) AS eid,
+           array_to_string(list(message ORDER BY eid), chr(10)) AS message,
+           count(*) AS n_lines
+    FROM g GROUP BY stream, grp
+    """,
+)
+def multiline_merge(spark, sf_dir):
+    """multiline codec → sessionization (running-sum group ids + ordered merge)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(5)).alias("stream"),
+        F.col("event_id").alias("eid"),
+        F.when(F.col("value") < 50, F.concat(F.lit(" "), F.col("event_type")))
+        .otherwise(F.col("event_type")).alias("message"),
+    )
+    out = apply_stage(
+        ev,
+        {"multiline": {"pattern": r"^\s", "what": "previous", "source": "message",
+                       "group_by": "stream", "order_by": "eid"}},
+    )
+    return out.select("stream", "eid", "message", "n_lines")
+
+
+# ---------------------------------------------------------------------------
+# Conditions & routing
+# ---------------------------------------------------------------------------
+
+@_q(
+    "conditions_surface",
+    """
+    SELECT event_id,
+           event_type = 'error' AS c_eq,
+           value > 250 AS c_gt,
+           regexp_matches(event_type, '^e') AS c_regex,
+           event_type IN ('click', 'view') AS c_in,
+           event_type NOT IN ('click', 'view') AS c_not_in,
+           (value > 250 AND event_type = 'click') OR value <= 10 AS c_bool,
+           (value > 250) != (event_type = 'click') AS c_xor
+    FROM events
+    """,
+)
+def conditions_surface(spark, sf_dir):
+    """One column per EventCondition operator class (SURVEY §2.1)."""
+    ev = _t(spark, sf_dir, "events")
+    conds = {
+        "c_eq": "[event_type] == 'error'",
+        "c_gt": "[value] > 250",
+        "c_regex": "[event_type] =~ /^e/",
+        "c_in": "[event_type] in ['click', 'view']",
+        "c_not_in": "[event_type] not in ['click', 'view']",
+        "c_bool": "([value] > 250 and [event_type] == 'click') or [value] <= 10",
+        "c_xor": "[value] > 250 xor [event_type] == 'click'",
+    }
+    for name, expr in conds.items():
+        ev = ev.withColumn(name, compile_condition(expr, ev))
+    return ev.select("event_id", *conds)
+
+
+@_q(
+    "route_sink_counts",
+    """
+    SELECT 'sink_errors' AS sink, count(*) AS n FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'sink_highvalue' AS sink, count(*) AS n FROM events WHERE value > 400
+    UNION ALL
+    SELECT 'sink_rest' AS sink, count(*) AS n FROM events
+    WHERE NOT (event_type = 'error') AND value <= 400
+    """,
+)
+def route_sink_counts(spark, sf_dir):
+    """Fan-out router branch predicates → per-sink aggregate counts (the
+    north rule's per-sink counts, minus the writes)."""
+    ev = _t(spark, sf_dir, "events")
+    branches = {
+        "sink_errors": "[event_type] == 'error'",
+        "sink_highvalue": "[value] > 400",
+        "sink_rest": "!([event_type] == 'error') and [value] <= 400",
+    }
+    parts = [
+        ev.filter(compile_condition(cond, ev))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(name).alias("sink"), "n")
+        for name, cond in branches.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# ---------------------------------------------------------------------------
+# Relational rollups (SURVEY §2.6: free-with-Spark surface, exercised
+# against TPC-H-ish tables; integer-cents math for exact hashes)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+           SUM(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_cents,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_cents"),
+        F.sum(F.round(F.col("l_discount") * 100).cast("long")).alias("sum_disc_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_q(
+    "top_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def top_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "events_daily_rollup",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS value_micros
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_daily_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("value_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id")
+
+
+@_q("dedup_minhash_lsh")  # seeded xxhash64 signatures — no SQL oracle (rows-only)
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.8).select("doc_id")
+
+
+@_q("dedup_simhash")  # seeded xxhash64 + bit votes — no SQL oracle (rows-only)
+def dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup(docs, max_hamming=3).select("doc_id")
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(ws) - 2),
+                         i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+                  ELSE [array_to_string(ws, ' ')] END AS sh
+      FROM w
+    ), inv AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM sh
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+    ), j AS (
+      SELECT a, b,
+             len(list_intersect(sa.sh, sb.sh))
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+               AS jaccard
+      FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b
+    )
+    SELECT a, b, round(jaccard, 4) AS jaccard FROM j WHERE jaccard >= 0.5
+    """,
+)
+def ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+    return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# binary-exact query-vector literals (1.0 / 0.5 / -0.25 cycle over 64 dims)
+_QVEC = [(1.0, 0.5, -0.25)[i % 3] for i in range(64)]
+_QVEC_SQL = "[" + ", ".join(repr(x) for x in _QVEC) + "]"
+
+
+@_q(
+    "similarity_cosine_topk",
+    f"""
+    WITH q AS (SELECT CAST({_QVEC_SQL} AS DOUBLE[]) AS qv), sims AS (
+      SELECT vec_id,
+             round(
+               list_reduce(list_prepend(0.0, list_transform(
+                 generate_series(1, 64),
+                 i -> CAST(embedding[i] AS DOUBLE) * qv[i])), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+                    generate_series(1, 64),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+                    (a, b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(
+                    generate_series(1, 64), i -> qv[i] * qv[i])), (a, b) -> a + b))),
+               6) AS cosine
+      FROM embeddings, q
+    )
+    SELECT vec_id, cosine FROM sims ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _QVEC, k=10)
+
+
+@_q("similarity_ann_lsh")  # seeded hyperplanes — no SQL oracle (rows-only)
+def similarity_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, _QVEC, k=10, n_planes=8, multiprobe=2)
+
+
+@_q("similarity_ann_ivf")  # seeded centroids — no SQL oracle (rows-only)
+def similarity_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, _QVEC, k=10, n_centroids=16, nprobe=4)
+
+
+def _sql_marker_count(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(ws, x -> x IN ({markers})))"
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+_TEXTSTATS_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, text, ws,
+             {_sql_marker_count('en')} AS c_en,
+             {_sql_marker_count('de')} AS c_de,
+             {_sql_marker_count('fr')} AS c_fr,
+             {_sql_marker_count('es')} AS c_es,
+             {_sql_marker_count('it')} AS c_it,
+             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_bpe_tokens,
+             CASE WHEN len(ws) > 0 THEN
+               list_reduce(list_prepend(0.0,
+                 list_transform(ws, x -> CAST(length(x) AS DOUBLE))), (a,b) -> a+b)
+               / len(ws) ELSE 0.0 END AS mwl,
+             CASE WHEN length(text) > 0 THEN
+               length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
+               / length(text) ELSE 0.0 END AS pr,
+             CASE WHEN len(ws) > 0 THEN
+               len(list_filter(ws, x -> x IN ({_STOP_SQL}))) / len(ws)
+               ELSE 0.0 END AS sr
+      FROM base
+    )
+    SELECT doc_id, n_tokens, n_bpe_tokens,
+           CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_it) < 1 THEN 'und'
+                WHEN c_en = greatest(c_en, c_de, c_fr, c_es, c_it) THEN 'en'
+                WHEN c_de = greatest(c_en, c_de, c_fr, c_es, c_it) THEN 'de'
+                WHEN c_fr = greatest(c_en, c_de, c_fr, c_es, c_it) THEN 'fr'
+                WHEN c_es = greatest(c_en, c_de, c_fr, c_es, c_it) THEN 'es'
+                ELSE 'it' END AS lang_detected,
+           CAST(round((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4
+                       WHEN n_tokens > 0 THEN 0.1 ELSE 0.0 END)
+                 + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END)
+                 + (CASE WHEN sr > 0.0 THEN 0.1 ELSE 0.0 END), 2) AS DOUBLE) AS quality
+    FROM hits
+"""
+
+
+@_q("textstats_quality", _TEXTSTATS_ORACLE)
+def textstats_quality(spark, sf_dir):
+    """language-ID + quality scoring + token counts — all native Columns."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        detect_language(c).alias("lang_detected"),
+        quality_score(c).alias("quality"),
+    )
+
+
+@_q("textstats_fingerprint")  # crc32 rolling hash — DuckDB lacks crc32 (rows-only)
+def textstats_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint_rolling")
+    )

@@ -1,0 +1,113 @@
+"""Replicates the driver's correctness gate locally: runs every
+queries() entry on Spark and its oracle_sql() on DuckDB at sf0.01,
+compares row count, schema (column names sorted) and an
+order-insensitive value hash. Usage:
+
+    python scripts/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return repr(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(
+        "|".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as se
+    from logstash_spark.session import get_spark
+
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = se.queries()
+    oracles = se.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        dt = time.monotonic() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {dt:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        if sorted(scols) != sorted(dcols):
+            failures.append(name)
+            print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(dcols)}")
+            continue
+        if len(srows) != len(drows):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
+            continue
+        s_can = canon(srows, scols)
+        d_can = canon(drows, dcols)
+        if s_can != d_can:
+            failures.append(name)
+            ndiff = sum(1 for a, b in zip(s_can, d_can) if a != b)
+            print(f"FAIL {name}: value mismatch ({ndiff}/{len(s_can)} rows differ)")
+            for a, b in list(zip(s_can, d_can))[:200]:
+                if a != b:
+                    print(f"  spark : {a[:200]}")
+                    print(f"  duckdb: {b[:200]}")
+                    break
+        else:
+            print(f"ok   {name}: {len(srows)} rows match ({dt:.1f}s)")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL MATCH")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
