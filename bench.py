@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_PAGES = int(os.environ.get("BENCH_PAGES", "60000"))
+N_FAT = int(os.environ.get("BENCH_FAT_PAGES", "20000"))
 N_LOGS = int(os.environ.get("BENCH_LOGS", "300000"))
 STAGE_DIR = os.environ.get("BENCH_STAGE_DIR", "/tmp/logstash_spark_bench")
 
@@ -46,21 +47,23 @@ def stage_inputs(spark):
     from logstash_spark.datagen import gen_access_logs, gen_pages
 
     pages_path = f"{STAGE_DIR}/pages_{N_PAGES}"
+    fat_path = f"{STAGE_DIR}/pages_{N_FAT}_ps40"
     logs_path = f"{STAGE_DIR}/logs_{N_LOGS}"
     if not os.path.exists(pages_path + "/_SUCCESS"):
         gen_pages(spark, N_PAGES).write.mode("overwrite").parquet(pages_path)
+    if not os.path.exists(fat_path + "/_SUCCESS"):
+        gen_pages(spark, N_FAT, para_scale=40).write.mode("overwrite").parquet(fat_path)
     if not os.path.exists(logs_path + "/_SUCCESS"):
         gen_access_logs(spark, N_LOGS).write.mode("overwrite").parquet(logs_path)
-    return pages_path, logs_path
+    return pages_path, fat_path, logs_path
 
 
-def bench_flagship(spark, pages_path):
+def bench_flagship(spark, pages_path, n_expected, run_dir):
     from logstash_spark.flagship import run_flagship
 
     pages = spark.read.parquet(pages_path)
-    run_dir = f"{STAGE_DIR}/flagship_run"
     metrics = run_flagship(spark, pages, run_dir, n_buckets=64, n_batches=1)
-    assert metrics.events_in == N_PAGES, metrics.events_in
+    assert metrics.events_in == n_expected, metrics.events_in
     return metrics
 
 
@@ -104,7 +107,7 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    pages_path, logs_path = stage_inputs(spark)
+    pages_path, fat_path, logs_path = stage_inputs(spark)
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
@@ -115,8 +118,19 @@ def main():
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
-    timed("flagship_e2e", lambda: bench_flagship(spark, pages_path))
+    timed("flagship_e2e", lambda: bench_flagship(
+        spark, pages_path, N_PAGES, f"{STAGE_DIR}/flagship_run"))
     extra["flagship_docs_per_sec"] = round(N_PAGES / timings["flagship_e2e"], 1)
+
+    # Common-Crawl-realistic page sizes (~20 KB html/doc)
+    timed("flagship_e2e_fatpages", lambda: bench_flagship(
+        spark, fat_path, N_FAT, f"{STAGE_DIR}/flagship_fat_run"))
+    fat_mb = sum(
+        os.path.getsize(os.path.join(fat_path, f))
+        for f in os.listdir(fat_path) if f.endswith(".parquet")
+    ) / 1e6
+    extra["fatpages_docs_per_sec"] = round(N_FAT / timings["flagship_e2e_fatpages"], 1)
+    extra["fatpages_mb_per_sec"] = round(fat_mb / timings["flagship_e2e_fatpages"], 2)
 
     timed("apache_grok_complex", lambda: bench_apache(spark, logs_path))
     extra["apache_events_per_sec"] = round(N_LOGS / timings["apache_grok_complex"], 1)

@@ -99,10 +99,10 @@ _HTML_TEMPLATES = [
 ]
 
 
-def _render_html(i: int) -> bytes:
+def _render_html(i: int, para_scale: int = 1) -> bytes:
     h = int(_hash_u64(np.array([i]), 7)[0])
     tpl = _HTML_TEMPLATES[h % len(_HTML_TEMPLATES)]
-    n_paras = 2 + (h >> 8) % 5
+    n_paras = (2 + (h >> 8) % 5) * para_scale
     paras = []
     for p in range(n_paras):
         ph = int(_hash_u64(np.array([i * 31 + p]), 11)[0])
@@ -116,12 +116,17 @@ def _render_html(i: int) -> bytes:
     return tpl.format(title=title, nav=nav, paras="".join(paras), script=script).encode("utf-8")
 
 
-def gen_pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+def gen_pages(
+    spark: SparkSession, n: int, partitions: int | None = None, para_scale: int = 1
+) -> DataFrame:
     """Distributed deterministic pages table (url, warc_ts, html, text, lang).
 
     ``text`` is the reference column: the oracle extractor applied to
     ``html`` at generation time (FIXTURES.md §1) — the engine must
-    reproduce it byte-for-byte.
+    reproduce it byte-for-byte. ``para_scale`` multiplies paragraph
+    count (1 → ~0.6 KB toy pages for unit tests; ~40 → ~20 KB
+    Common-Crawl-realistic pages for benchmarks). Default 1 keeps every
+    existing fixture byte-identical.
     """
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
@@ -144,7 +149,7 @@ def gen_pages(spark: SparkSession, n: int, partitions: int | None = None) -> Dat
             ts = pd.Timestamp("2026-01-01T00:00:00Z").tz_localize(None) + pd.to_timedelta(
                 ids, unit="s"
             )
-            htmls = [_render_html(int(i)) for i in ids]
+            htmls = [_render_html(int(i), para_scale) for i in ids]
             texts = [extract_text(hb) for hb in htmls]
             yield pd.DataFrame(
                 {

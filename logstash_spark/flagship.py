@@ -23,10 +23,25 @@ SINK_SELECT = [
 ]
 
 
+_DIM_CACHE: dict[int, tuple] = {}
+
+
+def _dims(spark: SparkSession):
+    """Dimension fixtures built once per session (a real deployment
+    loads geo/ua/dict dims once, not per micro-batch)."""
+    key = id(spark)
+    if key not in _DIM_CACHE:
+        _DIM_CACHE.clear()
+        _DIM_CACHE[key] = (
+            gen_geo_ranges(spark, 500),
+            gen_ua_rules(spark),
+            gen_domain_dict(spark),
+        )
+    return _DIM_CACHE[key]
+
+
 def flagship_pipeline(spark: SparkSession) -> Pipeline:
-    geo = gen_geo_ranges(spark, 500)
-    ua = gen_ua_rules(spark)
-    ddict = gen_domain_dict(spark)
+    geo, ua, ddict = _dims(spark)
     spec = {
         "id": "web_pages",
         "filters": [

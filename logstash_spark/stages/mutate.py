@@ -324,13 +324,29 @@ class RubyStage(Stage):
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
         fn = self.conf["code"]
         source = self.conf.get("source", "message")
-        target = self.conf.get("target", field_name(source))
+        sources = [source] if isinstance(source, str) else list(source)
+        target = self.conf.get("target", field_name(sources[0]))
         rtype = self.conf.get("returns", "string")
         from pyspark.sql.functions import pandas_udf
 
-        @pandas_udf(rtype)
-        def _ruby(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-            for s in batches:
-                yield fn(s)
+        if len(sources) == 1:
 
-        return df.withColumn(target, _ruby(field_col(source))), None
+            @pandas_udf(rtype)
+            def _ruby(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+                for s in batches:
+                    yield fn(s)
+
+        else:
+            # multi-column: fn receives one pd.Series per source field
+            # (fixed-arity wrappers — pandas_udf infers arity from the
+            # signature)
+            wrappers = {
+                2: lambda a, b: fn(a, b),
+                3: lambda a, b, c: fn(a, b, c),
+                4: lambda a, b, c, d: fn(a, b, c, d),
+            }
+            if len(sources) not in wrappers:
+                raise ValueError("ruby stage supports 1-4 source fields")
+            _ruby = pandas_udf(wrappers[len(sources)], rtype)
+
+        return df.withColumn(target, _ruby(*[field_col(s) for s in sources])), None

@@ -245,6 +245,29 @@ class CsvStage(Stage):
         return df, matched
 
 
+@register("xml")
+class XmlStage(Stage):
+    """logstash-filter-xml: parse a string field as XML into target.
+
+    conf: source, target, schema (DDL — the reference's ``xpath``
+    extraction maps to selecting struct fields from the parsed value),
+    tag_on_failure default ``_xmlparsefailure``. Native ``F.from_xml``
+    (Spark 4) — JVM-side, no Python.
+    """
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        source = self.conf.get("source", "message")
+        schema = self.conf["schema"]
+        target = self.conf.get("target", "xml")
+        src = field_col(source)
+        parsed = F.from_xml(src, schema)
+        df = df.withColumn(target, parsed)
+        matched = src.isNotNull() & parsed.isNotNull()
+        df = add_tags(df, self.conf.get("tag_on_failure", ["_xmlparsefailure"]),
+                      src.isNotNull() & ~matched)
+        return df, matched
+
+
 # Joda (reference) → java.time (Spark) pattern translation. The shared
 # subset is identical; the table handles the known divergences.
 _JODA_TO_JAVA = {"ZZ": "XXX"}

@@ -207,6 +207,26 @@ def date_multiformat(spark, sf_dir):
     return out.select("event_id", "event_ts")
 
 
+@_q(
+    "xml_parse",
+    """
+    SELECT event_id, event_type AS t, user_id AS u FROM events
+    """,
+)
+def xml_parse(spark, sf_dir):
+    ev = _events_msg(
+        spark, sf_dir,
+        F.concat(
+            F.lit("<e><t>"), F.col("event_type"), F.lit("</t><u>"),
+            F.col("user_id").cast("string"), F.lit("</u></e>"),
+        ),
+    )
+    out = apply_stage(
+        ev, {"xml": {"source": "message", "schema": "t string, u long", "target": "x"}}
+    )
+    return out.select("event_id", F.col("x.t").alias("t"), F.col("x.u").alias("u"))
+
+
 # ---------------------------------------------------------------------------
 # Mutate family
 # ---------------------------------------------------------------------------
@@ -368,6 +388,55 @@ def syslog_pri_decode(spark, sf_dir):
         "syslog_facility_code", "syslog_severity_code",
         "syslog_facility", "syslog_severity",
     )
+
+
+@_q(
+    "uuid_deterministic",
+    """
+    WITH h AS (SELECT event_id, sha256(CAST(event_id AS VARCHAR)) AS hx FROM events)
+    SELECT event_id,
+           substring(hx,1,8) || '-' || substring(hx,9,4) || '-' ||
+           substring(hx,13,4) || '-' || substring(hx,17,4) || '-' ||
+           substring(hx,21,12) AS uuid
+    FROM h
+    """,
+)
+def uuid_deterministic(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(ev, {"uuid": {"deterministic_from": "event_id"}})
+    return out.select("event_id", "uuid")
+
+
+@_q(
+    "de_dot_rename",
+    "SELECT event_id, event_type AS user_agent_os FROM events",
+)
+def de_dot_rename(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("user_agent.os", F.col("event_type"))
+    out = apply_stage(ev, {"de_dot": {}})
+    return out.select("event_id", F.col("user_agent_os"))
+
+
+@_q(
+    "ruby_vectorized_udf",
+    """
+    SELECT event_id,
+           CAST(length(event_type) AS BIGINT) * user_id AS score
+    FROM events
+    """,
+)
+def ruby_vectorized_udf(spark, sf_dir):
+    """ruby filter ≙ user-supplied VECTORIZED fn (pd.Series → pd.Series)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def score(t, u):  # two pd.Series in, one out — fully vectorized
+        return (t.str.len() * u).astype("int64")
+
+    out = apply_stage(
+        ev, {"ruby": {"code": score, "source": ["event_type", "user_id"],
+                      "target": "score", "returns": "long"}}
+    )
+    return out.select("event_id", "score")
 
 
 # ---------------------------------------------------------------------------
@@ -901,6 +970,19 @@ def textstats_quality(spark, sf_dir):
         detect_language(c).alias("lang_detected"),
         quality_score(c).alias("quality"),
     )
+
+
+@_q(
+    "salted_skew_aggregate",
+    "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+)
+def salted_skew_aggregate(spark, sf_dir):
+    """Two-phase salted applyInPandas over the Zipf-skewed lang key —
+    the hot key ('en' ≈ 55%) reduces across 8 salt sub-groups first."""
+    from .datapipe.skew import salted_group_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return salted_group_count(docs, ["lang"], salt_on="text", n_salt=8)
 
 
 @_q("textstats_fingerprint")  # crc32 rolling hash — DuckDB lacks crc32 (rows-only)

@@ -145,7 +145,9 @@ def test_dead_letter_schema(spark, run):
                                 "failed_ts", "bucket"}
     r = dlq.collect()[0]
     assert r.error_stage == "_translation_miss"
-    assert json.loads(r.original)["url"] == r.url
+    # original payload is a typed struct (documented deviation from the
+    # reference's JSON-text DLQEntry — see router.dlq_projection)
+    assert r.original["url"] == r.url
 
 
 def test_crash_resume_equals_single_run(spark, tmp_path):
