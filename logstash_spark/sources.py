@@ -1,0 +1,108 @@
+"""Input plugins → DataFrames (batch) or streams.
+
+Reference counterparts: the input plugin family (SURVEY §2.2) and the
+codec layer (§2.3) — here an input resolves to a Spark reader + format
+and a codec resolves to the reader format / a post-read parse column.
+
+Scope follows SURVEY §2.2: network servers (beats/tcp/http) have no
+batch-engine equivalent [P2]; connector inputs that Spark covers
+natively (file/s3/jdbc/kafka) are wired through the corresponding
+reader, gated on the driver/jar being present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# codec → spark reader format for line-shaped sources
+_CODEC_FORMAT = {
+    "plain": "text",
+    "line": "text",
+    "json": "json",
+    "json_lines": "json",
+    "csv": "csv",
+    "avro": "avro",
+}
+
+
+class SourceError(ValueError):
+    pass
+
+
+def resolve_input(
+    spark: SparkSession, plugin: str, args: dict, streaming: bool = False
+) -> DataFrame:
+    """One input-plugin spec → a DataFrame (or streaming DataFrame)."""
+    args = dict(args)
+    codec = args.pop("codec", "plain")
+
+    if plugin in ("file", "s3"):
+        path = args["path"]
+        fmt = _CODEC_FORMAT.get(codec, codec)
+        reader = spark.readStream if streaming else spark.read
+        if fmt == "text":
+            df = reader.text(path)
+            # the line codec contract: one line = one event in `message`
+            # (logstash-codec-line); .text's `.gz` handling covers
+            # gzip_lines
+            return df.withColumnRenamed("value", "message")
+        if streaming and "schema" not in args:
+            raise SourceError(f"streaming {fmt} input requires schema => '<ddl>'")
+        if "schema" in args:
+            reader = reader.schema(args["schema"])
+        return reader.format(fmt).load(path)
+
+    if plugin in ("parquet", "table"):
+        reader = spark.readStream if streaming else spark.read
+        if streaming and "schema" in args:
+            reader = reader.schema(args["schema"])
+        return reader.parquet(args["path"])
+
+    if plugin == "generator":
+        # logstash-input-generator: `count`, `lines`, `message`
+        count = int(args.get("count", 100))
+        lines = args.get("lines") or [args.get("message", "hello world")]
+        base = spark.range(count).withColumnRenamed("id", "sequence")
+        arr = F.array(*[F.lit(str(ln)) for ln in lines])
+        return base.select(
+            F.explode(arr).alias("message"), F.col("sequence")
+        )
+
+    if plugin == "dead_letter_queue":
+        # read a prior run's DLQ table back in (logstash-input-dead_letter_queue)
+        return spark.read.parquet(args["path"])
+
+    if plugin == "jdbc":
+        # logstash-integration-jdbc input: statement + connection
+        try:
+            reader = spark.read.format("jdbc").options(
+                url=args["jdbc_connection_string"],
+                query=args["statement"],
+                driver=args.get("jdbc_driver_class", ""),
+            )
+            return reader.load()
+        except Exception as e:  # driver jar not in this container
+            raise SourceError(f"jdbc input requires the driver jar on the cluster: {e}")
+
+    if plugin == "kafka":
+        if not streaming:
+            raise SourceError("kafka input runs in streaming mode")
+        try:
+            return (
+                spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", args["bootstrap_servers"])
+                .option("subscribe", args["topics"] if isinstance(args["topics"], str)
+                        else ",".join(args["topics"]))
+                .load()
+                .select(F.col("value").cast("string").alias("message"),
+                        "timestamp", "partition", "offset")
+            )
+        except Exception as e:
+            raise SourceError(f"kafka input requires spark-sql-kafka jar: {e}")
+
+    if plugin in ("stdin", "heartbeat"):
+        raise SourceError(f"{plugin!r} input has no batch-engine equivalent "
+                          "(SURVEY §2.2 [P2]) — use `generator` or `file`")
+
+    raise SourceError(f"unknown input plugin {plugin!r}")

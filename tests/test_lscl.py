@@ -1,0 +1,97 @@
+"""LSCL (logstash.conf) parser + CLI end-to-end tests.
+
+Configs mirror the shapes asserted by the reference's
+logstash-core/spec/logstash/java_pipeline_spec.rb /
+CompiledPipelineTest.java: generator input + conditional filters +
+branched outputs.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from logstash_spark.lscl import to_pipeline_spec
+
+CONF = r"""
+# apache-style pipeline
+input {
+  generator { count => 10 message => "hello" }
+}
+filter {
+  mutate { add_field => { "greeting" => "hi %{message}" } }
+  if [sequence] > 5 {
+    mutate { add_tag => ["big"] }
+  } else if [sequence] > 2 {
+    mutate { add_tag => ["mid"] }
+  } else {
+    mutate { add_tag => ["small"] }
+  }
+  grok { match => { "message" => "%{WORD:word}" } }
+}
+output {
+  if "big" in [tags] {
+    elasticsearch { index => "big_events" }
+  } else {
+    file { path => "/rest" }
+  }
+  dead_letter_queue { }
+}
+"""
+
+
+def test_parse_sections():
+    spec = to_pipeline_spec(CONF)
+    assert spec["inputs"] == [
+        {"plugin": "generator", "args": {"count": 10, "message": "hello"}}
+    ]
+    names = [next(iter(set(f) - {"when"})) for f in spec["filters"]]
+    assert names == ["mutate", "mutate", "mutate", "mutate", "grok"]
+    assert spec["filters"][0].get("when") is None
+    assert spec["filters"][1]["when"] == "[sequence] > 5"
+    assert spec["filters"][2]["when"] == "!([sequence] > 5) and ([sequence] > 2)"
+    assert spec["filters"][3]["when"] == "!([sequence] > 5) and !([sequence] > 2)"
+    assert spec["filters"][4].get("when") is None
+    sinks = {o["name"]: o for o in spec["outputs"]}
+    assert sinks["big_events"]["when"] == '"big" in [tags]'
+    assert sinks["rest"]["when"] == '!("big" in [tags])'
+    assert sinks["dead_letter"]["dlq"] is True
+
+
+def test_value_types():
+    spec = to_pipeline_spec(
+        'filter { kv { field_split => "&" include_keys => ["a", "b"] '
+        "trim_key => \"'\" recursive => false n => 3 x => 1.5 } }"
+    )
+    args = spec["filters"][0]["kv"]
+    assert args["include_keys"] == ["a", "b"]
+    assert args["recursive"] is False
+    assert args["n"] == 3 and args["x"] == 1.5
+
+
+def test_nested_if_conjunction():
+    spec = to_pipeline_spec(
+        "filter { if [a] > 1 { if [b] > 2 { mutate { add_tag => [\"x\"] } } } }"
+    )
+    assert spec["filters"][0]["when"] == "([a] > 1) and ([b] > 2)"
+
+
+def test_cli_end_to_end(tmp_path):
+    conf = tmp_path / "pipe.conf"
+    conf.write_text(CONF)
+    run_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "logstash_spark", "-f", str(conf),
+         "--run-dir", str(run_dir), "--buckets", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    metrics = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert metrics["events"]["in"] == 10
+    outs = {o["id"]: o["events"]["out"]
+            for o in metrics["pipelines"]["main"]["plugins"]["outputs"]}
+    # sequence 0..9 → big: 6..9 (4 rows), rest: 0..5 (6 rows)
+    assert outs["big_events"] == 4
+    assert outs["rest"] == 6
+    assert (run_dir / "metrics.json").exists()

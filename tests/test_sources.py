@@ -1,0 +1,57 @@
+"""Input-plugin resolution tests (sources.py)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from logstash_spark.sources import SourceError, resolve_input
+
+
+def test_file_line_codec(spark, tmp_path):
+    p = tmp_path / "log.txt"
+    p.write_text("line one\nline two\n")
+    df = resolve_input(spark, "file", {"path": str(p)})
+    assert df.columns == ["message"]
+    assert {r["message"] for r in df.collect()} == {"line one", "line two"}
+
+
+def test_file_gzip_lines(spark, tmp_path):
+    p = tmp_path / "log.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("a\nb\nc\n")
+    df = resolve_input(spark, "file", {"path": str(p)})
+    assert df.count() == 3
+
+
+def test_file_json_codec(spark, tmp_path):
+    p = tmp_path / "ev.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    df = resolve_input(spark, "file", {"path": str(p), "codec": "json_lines"})
+    assert {r["a"] for r in df.collect()} == {1, 2}
+
+
+def test_generator_lines(spark):
+    df = resolve_input(
+        spark, "generator", {"count": 5, "lines": ["foo", "bar"]}
+    )
+    rows = df.collect()
+    assert len(rows) == 10  # count x lines (generator emits each line per cycle)
+    assert {r["message"] for r in rows} == {"foo", "bar"}
+
+
+def test_unknown_and_p2_inputs(spark):
+    with pytest.raises(SourceError):
+        resolve_input(spark, "beats_like_nonsense", {})
+    with pytest.raises(SourceError, match="batch-engine"):
+        resolve_input(spark, "stdin", {})
+    with pytest.raises(SourceError, match="streaming"):
+        resolve_input(spark, "kafka", {"bootstrap_servers": "x", "topics": "t"})
+
+
+def test_dlq_readback(spark, tmp_path):
+    df = spark.createDataFrame([("u1", "_grokparsefailure")], "url string, error_stage string")
+    df.write.parquet(str(tmp_path / "dlq"))
+    back = resolve_input(spark, "dead_letter_queue", {"path": str(tmp_path / "dlq")})
+    assert back.count() == 1
