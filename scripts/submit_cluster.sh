@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Cluster packaging/invocation (north rule: spark-submit --py-files).
+# On the sandbox the session factory ships the same zip automatically
+# (session._ship_package); this script is the real-cluster form.
+set -euo pipefail
+
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+ZIP="/tmp/logstash_spark_pkg.zip"
+
+cd "$REPO" && zip -qr "$ZIP" logstash_spark
+
+# Example: run an LSCL pipeline over an Iceberg/parquet pages table at
+# two cluster sizes (the N->4N scaling criterion). Executor counts and
+# the Iceberg catalog confs are deploy-specific.
+exec spark-submit \
+  --py-files "$ZIP" \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.adaptive.skewJoin.enabled=true \
+  --conf spark.sql.execution.arrow.pyspark.enabled=true \
+  --conf spark.sql.session.timeZone=UTC \
+  --conf spark.sql.ansi.enabled=false \
+  --conf spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2 \
+  "$REPO/__main_submit__.py" "$@"
