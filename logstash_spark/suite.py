@@ -103,6 +103,23 @@ def grok_single_native(spark, sf_dir):
 
 
 @_q(
+    "grok_typed_captures",
+    "SELECT event_id, user_id AS uid, event_id AS nid FROM events",
+)
+def grok_typed_captures(spark, sf_dir):
+    """grok %{INT:field:int} type conversions (grok.rb's third ref part)."""
+    ev = _events_msg(
+        spark, sf_dir,
+        F.concat(F.lit("id="), F.col("user_id").cast("string"),
+                 F.lit(" n="), F.col("event_id").cast("string")),
+    )
+    out = apply_stage(
+        ev, {"grok": {"match": {"message": "id=%{INT:uid:int} n=%{INT:nid:int}"}}}
+    )
+    return out.select("event_id", "uid", "nid")
+
+
+@_q(
     "dissect_tokens",
     """
     SELECT event_id, event_type AS etype, CAST(user_id AS VARCHAR) AS uid,
