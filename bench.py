@@ -99,6 +99,10 @@ def main():
     from logstash_spark.session import get_spark
     from logstash_spark import suite
 
+    # bench-only heap tuning (not a library default): the local-mode
+    # driver JVM hosts all task slots and GC-thrashes at 1g under ≥16
+    # concurrent parquet writers + persisted batches.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     master = f"local[{cpus}]" if cpus else None
     spark = get_spark(

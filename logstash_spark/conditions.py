@@ -214,11 +214,14 @@ class ConditionParser:
             return ~matched if op == "!~" else matched
         right = self._operand()
         lc, rc = left.col(), right.col()
-        # static numeric coercion: string field vs number literal
+        # static numeric coercion: string field vs number literal.
+        # try_cast: a non-numeric string compares as null (condition
+        # false), never an ANSI throw — EventCondition's dynamic compare
+        # likewise never aborts the pipeline.
         if left.kind == "field" and right.kind == "num" and self._dtype(left.value) == "string":
-            lc = lc.cast("double")
+            lc = lc.try_cast("double")
         if right.kind == "field" and left.kind == "num" and self._dtype(right.value) == "string":
-            rc = rc.cast("double")
+            rc = rc.try_cast("double")
         return {
             "==": lambda: lc == rc,
             "!=": lambda: lc != rc,

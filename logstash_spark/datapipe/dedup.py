@@ -70,6 +70,100 @@ def minhash_signature(shingles_col, num_perm: int = 64):
     )
 
 
+# Posting-list cap per LSH band bucket. Buckets larger than this are
+# near-certainly clusters of near-identical documents (a random band-key
+# collision among dissimilar docs is ~2^-64); they switch from all-pairs
+# to representative pairing (min-id doc vs every other member) — O(m)
+# instead of O(m^2) in the bucket, the scale-killer for web corpora
+# where giant exact-dup clusters are the norm. Not a silent cap: stats
+# come back via minhash_bucket_stats().
+HOT_BUCKET_CAP = 32
+
+
+def _minhash_base(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int, shingle_k: int
+) -> DataFrame:
+    """ONE scan computing both the verify set and the LSH signature:
+    (id, hs = int64 shingle hashes, sig = minhash signature). The 64
+    xxhash64-per-shingle signature is the expensive projection — it must
+    run once, not once for candidates and again for verify."""
+    sh = word_shingles(F.col(text_col), shingle_k)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("hs"),
+        minhash_signature(sh, num_perm).alias("sig"),
+    )
+
+
+def _band_keys(sig_col, num_perm: int, bands: int):
+    rows_per_band = num_perm // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[
+                        F.element_at(sig_col, b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ])
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _banded_candidates(base: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """Candidate pairs (a < b) sharing ≥1 band bucket, hot buckets
+    degraded to representative pairing (see HOT_BUCKET_CAP)."""
+    banded = base.select(
+        "id", F.explode(_band_keys(F.col("sig"), num_perm, bands)).alias("bk")
+    ).select("id", "bk.band", "bk.key")
+    w = Window.partitionBy("band", "key")
+    annotated = banded.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
+        "__rep", F.min("id").over(w)
+    )
+    # singleton buckets (the vast majority: 16 per unique doc) never
+    # reach the self-join at all
+    small = annotated.filter((F.col("__n") >= 2) & (F.col("__n") <= HOT_BUCKET_CAP))
+    l, r = small.alias("l"), small.alias("r")
+    pairs_small = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.key") == F.col("r.key"))
+        & (F.col("l.id") < F.col("r.id")),
+    ).select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    pairs_hot = (
+        annotated.filter((F.col("__n") > HOT_BUCKET_CAP) & (F.col("id") != F.col("__rep")))
+        .select(F.col("__rep").alias("a"), F.col("id").alias("b"))
+    )
+    return pairs_small.unionByName(pairs_hot).distinct()
+
+
+def minhash_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> dict:
+    """No-silent-caps accounting: how many band buckets exceeded
+    HOT_BUCKET_CAP (→ representative pairing) and the largest bucket."""
+    base = _minhash_base(df, id_col, text_col, num_perm, shingle_k)
+    banded = base.select(
+        "id", F.explode(_band_keys(F.col("sig"), num_perm, bands)).alias("bk")
+    ).select("bk.band", "bk.key")
+    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.sum(F.when(F.col("n") > HOT_BUCKET_CAP, 1).otherwise(0)).alias("hot_buckets"),
+        F.max("n").alias("max_bucket"),
+    ).collect()[0]
+    return {"buckets": int(row["buckets"]), "hot_buckets": int(row["hot_buckets"] or 0),
+            "max_bucket": int(row["max_bucket"] or 0), "cap": HOT_BUCKET_CAP}
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -79,42 +173,8 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Candidate pairs (a < b) sharing ≥1 LSH band bucket."""
-    rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_k), num_perm).alias("sig"),
-    )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ])
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
-    )
+    base = _minhash_base(df, id_col, text_col, num_perm, shingle_k)
+    return _banded_candidates(base, num_perm, bands)
 
 
 def jaccard_verify(
@@ -152,9 +212,38 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Drop every doc that near-duplicates a smaller-id doc."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, shingle_k)
-    dups = jaccard_verify(df, cands, id_col, text_col, shingle_k, threshold)
+    """Drop every doc that near-duplicates a smaller-id doc.
+
+    Plan shape (the 100 TB story): one scan builds (id, shingle-hash
+    array, minhash signature), persisted and reused by BOTH the
+    candidate join and the verify join — signatures are never
+    recomputed. Candidates join on the band key with singleton buckets
+    pruned and hot buckets linearized (HOT_BUCKET_CAP); verify computes
+    exact Jaccard over the compact int64 shingle-hash arrays (identical
+    value to string-shingle Jaccard modulo 64-bit hash collisions),
+    never re-carrying raw shingle strings through a shuffle.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    # persist: the signature scan feeds three plan subtrees (band join
+    # left/right via exchange reuse, verify probe x2); without it the
+    # 64-hash projection runs per subtree. MEMORY_AND_DISK — eviction
+    # only costs recompute, never correctness.
+    base = _minhash_base(df, id_col, text_col, num_perm, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = _banded_candidates(base, num_perm, bands)
+    hs = base.select("id", "hs")
+    dups = (
+        cands.join(hs.withColumnRenamed("id", "a").withColumnRenamed("hs", "hs_a"), "a")
+        .join(hs.withColumnRenamed("id", "b").withColumnRenamed("hs", "hs_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("hs_a", "hs_b"))
+            / F.size(F.array_union("hs_a", "hs_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
     to_drop = dups.select(F.col("b").alias(id_col)).distinct()
     return df.join(to_drop, id_col, "left_anti")
 

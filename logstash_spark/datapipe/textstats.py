@@ -102,13 +102,25 @@ def quality_score(col: Column) -> Column:
     return F.round(len_ok + mwl_ok + punct_ok + stop_ok, 2)
 
 
+# Modulus for the rolling-hash accumulator. Bounding acc < 2^31 keeps
+# every intermediate (31*acc + crc32 < 2^36 + 2^32) far from int64
+# overflow, so the expression is valid under ANSI-on sessions — the
+# driver gate runs Spark 4 ANSI defaults, where the previous
+# wrap-in-int64 formulation threw ARITHMETIC_OVERFLOW (round 1).
+_FP_MOD = 2**31
+
+
 def rolling_fingerprint(col: Column) -> Column:
-    """Polynomial rolling hash over tokens: acc*31 + crc32(token),
-    wrapping in int64 — order-sensitive (unlike a bag-of-words hash)."""
+    """Polynomial rolling hash over tokens: acc = (acc*31 +
+    crc32(token)) mod 2^31 — order-sensitive (unlike a bag-of-words
+    hash), overflow-free by construction."""
     return F.aggregate(
         words(col),
         F.lit(0).cast("long"),
-        lambda acc, w: acc * F.lit(31).cast("long") + F.crc32(F.encode(w, "UTF-8")).cast("long"),
+        lambda acc, w: F.pmod(
+            acc * F.lit(31).cast("long") + F.crc32(F.encode(w, "UTF-8")).cast("long"),
+            F.lit(_FP_MOD).cast("long"),
+        ),
     )
 
 

@@ -64,7 +64,10 @@ def field_col(ref: str) -> Column:
     parts = _canonical(parse_ref(ref))
     col = F.col(parts[0])
     for p in parts[1:]:
-        col = col.getItem(p) if p.isdigit() else col.getField(p)
+        # numeric path element = 0-based list index (FieldReference
+        # semantics). F.get, not getItem: out-of-bounds yields null
+        # instead of an ANSI INVALID_ARRAY_INDEX throw.
+        col = F.get(col, int(p)) if p.isdigit() else col.getField(p)
     return col
 
 

@@ -82,7 +82,9 @@ def dlq_projection(df: DataFrame) -> DataFrame:
     payload = [c for c in cols if c not in (METADATA_FIELD, "bucket")]
     out = df.select(
         url.alias("url"),
-        F.element_at(fail_tags, 1).alias("error_stage"),
+        # F.get (not element_at): a custom DLQ `when` can route rows with
+        # zero failure tags — element_at on an empty array throws under ANSI
+        F.get(fail_tags, 0).alias("error_stage"),
         F.array_join(fail_tags, ",").alias("error_reason"),
         F.struct(*payload).alias("original"),
         ts.alias("failed_ts"),

@@ -46,23 +46,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
-    # Local mode runs everything in the driver JVM; the 1g default heap
-    # GC-thrashes as soon as ~32 tasks hold parquet-writer + persisted
-    # blocks concurrently (measured: local[32] 3x SLOWER than local[8]
-    # until this was raised). On a real cluster this maps to normal
-    # executor sizing. Only effective for the first session in a
-    # process (JVM launch-time setting).
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
-
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
-        # Logstash semantics for dirty data: a bad cast/parse yields null
-        # (then a failure tag / dead-letter row), never a job abort. Spark
-        # 4 defaults ANSI on (throwing casts) — turn it off engine-wide.
-        .config("spark.sql.ansi.enabled", "false")
+        # NOTE on ANSI: the engine runs under Spark 4's DEFAULT
+        # spark.sql.ansi.enabled=true (the driver gate's session config).
+        # Logstash's never-abort semantics for dirty data are provided
+        # operator-locally — every cast/parse in the package is a try_
+        # variant (try_to_timestamp / try_cast / pmod-bounded hashes) —
+        # so behavior is identical whatever the session sets.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -80,6 +73,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "2g")
     )
+    # Local-mode bench harnesses need a big driver heap (the driver JVM
+    # hosts all 32 task slots; 1g GC-thrashes under concurrent parquet
+    # writers). That's harness tuning, not a product default — bench.py /
+    # scale_bench.py set SPARK_GRAFT_DRIVER_MEM; library consumers get
+    # Spark's normal default. JVM-launch-time setting: first session wins.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if driver_mem:
+        builder = builder.config("spark.driver.memory", driver_mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

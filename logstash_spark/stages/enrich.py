@@ -21,9 +21,11 @@ from .base import Stage, add_tags, register
 
 
 def ip_to_long(col: Column) -> Column:
-    """Dotted-quad → int64, fully native (aggregate over split octets)."""
+    """Dotted-quad → int64, fully native (aggregate over split octets).
+    try_cast: a malformed octet nulls the whole value (lookup-miss →
+    failure tag) instead of throwing under ANSI sessions."""
     return F.aggregate(
-        F.transform(F.split(col, r"\."), lambda x: x.cast("long")),
+        F.transform(F.split(col, r"\."), lambda x: x.try_cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc * 256 + x,
     )
@@ -253,7 +255,7 @@ class TldStage(Stage):
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         source = self.conf.get("source", "url")
         suffixes: list[str] = self.conf["suffixes"]
-        host = F.parse_url(field_col(source), F.lit("HOST"))
+        host = F.try_parse_url(field_col(source), F.lit("HOST"))
         df = df.withColumn("domain", host)
         expr = F.lit(None).cast("string")
         chain = None

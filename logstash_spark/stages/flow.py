@@ -195,22 +195,39 @@ class MetricsStage(Stage):
         ts = self.conf.get("timestamp_field", "event_ts")
         agg = (
             df.groupBy(
-                field_col(meter).alias("meter"),
+                field_col(meter).cast("string").alias("meter"),
                 F.window(F.col(ts), f"{interval} seconds").alias("w"),
             )
             .agg(F.count(F.lit(1)).alias("count"))
             .select("meter", F.col("w.start").alias("window_start"), "count")
+            .withColumn("rate", F.col("count") / F.lit(float(interval)))
         )
-        # EWMA over successive windows (α per Logstash's 1-minute meter)
-        alpha = 2.0 / (60.0 / interval + 1.0)
-        w = Window.partitionBy("meter").orderBy("window_start")
-        rn = F.row_number().over(w)
-        # closed-form EWMA of the rate series via sum of weighted terms
-        rate = F.col("count") / F.lit(float(interval))
-        weighted = rate * F.pow(F.lit(1 - alpha), -rn.cast("double"))
-        ewma_num = F.sum(weighted).over(w.rowsBetween(Window.unboundedPreceding, 0))
-        ewma = (ewma_num * F.pow(F.lit(1 - alpha), rn.cast("double"))).alias("rate_1m_raw")
-        agg = agg.withColumn("rate", rate).withColumn(
-            "rate_1m", F.round(ewma * F.lit(alpha) / (1 - F.pow(F.lit(1 - alpha), rn.cast("double"))), 6)
+        # EWMA over successive windows (α per Logstash's 1-minute meter),
+        # computed by the RECURSION e_i = α·r_i + (1-α)·e_{i-1} per meter
+        # in applyInPandas. The previous closed form multiplied by
+        # pow(1-α, -row_number) — exponentially growing weights that
+        # overflow to inf after a few thousand flush windows (any real
+        # day of data). The recursion is O(n) per meter, bounded, and
+        # meters are the parallel unit.
+        a = 2.0 / (60.0 / interval + 1.0)
+        b = 1.0 - a
+
+        def ewma_fn(pdf):
+            import numpy as np
+
+            pdf = pdf.sort_values("window_start", kind="mergesort").reset_index(drop=True)
+            r = pdf["rate"].to_numpy(dtype="float64")
+            e = np.empty_like(r)
+            acc = 0.0
+            for i in range(len(r)):
+                acc = r[i] if i == 0 else a * r[i] + b * acc
+                e[i] = acc
+            pdf["rate_1m"] = e
+            return pdf
+
+        out = agg.groupBy("meter").applyInPandas(
+            ewma_fn,
+            schema="meter string, window_start timestamp, count long, rate double, "
+                   "rate_1m double",
         )
-        return agg, None
+        return out, None

@@ -87,7 +87,9 @@ class MutateStage(Stage):
                 col = F.when(F.lower(col.cast("string")).isin("true", "t", "yes", "y", "1"), F.lit(True)) \
                     .when(F.lower(col.cast("string")).isin("false", "f", "no", "n", "0"), F.lit(False))
             else:
-                col = col.cast(spark_t)
+                # try_cast: a dirty value yields null (mutate.rb logs and
+                # keeps flowing) instead of throwing under ANSI sessions
+                col = col.try_cast(spark_t)
             df = df.withColumn(name, col)
         return df
 
@@ -188,12 +190,14 @@ class DeDotStage(Stage):
 
 @register("urldecode")
 class UrlDecodeStage(Stage):
-    """logstash-filter-urldecode → native F.url_decode (Spark 3.4+)."""
+    """logstash-filter-urldecode → native F.try_url_decode: a broken
+    %-escape yields null, never an ANSI throw (urldecode.rb likewise
+    never aborts — it tags the event and keeps flowing)."""
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
         ref = self.conf.get("field", "message")
         name = field_name(ref)
-        df = df.withColumn(name, F.url_decode(field_col(ref)))
+        df = df.withColumn(name, F.try_url_decode(field_col(ref)))
         return df, None
 
 
@@ -201,9 +205,12 @@ class UrlDecodeStage(Stage):
 class TruncateStage(Stage):
     """logstash-filter-truncate: cap string fields at length_bytes.
 
-    Byte-true semantics via binary substring then decode (UTF-8 safe
-    truncation would need a UDF; reference truncates at the byte
-    boundary too — documented as byte-exact).
+    Byte-true semantics via binary substring then decode. The cut point
+    backs up (≤3 bytes) to a UTF-8 character boundary before decoding:
+    under an ANSI-on session ``decode`` throws MALFORMED_CHARACTER_CODING
+    on a mid-codepoint split, and the reference never emits broken
+    UTF-8 either (truncate.rb cuts the Ruby string, which is
+    codepoint-aware). All native: byte probing via hex/conv — no UDF.
     """
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
@@ -211,10 +218,28 @@ class TruncateStage(Stage):
         fields = self.conf.get("fields", ["message"])
         if isinstance(fields, str):
             fields = [fields]
+
+        def byte_at(bin_col: Column, pos: Column) -> Column:
+            # 1-indexed byte value; 0 past end (conv('',16,10) = '0')
+            return F.conv(F.hex(F.substring(bin_col, pos, 1)), 16, 10).cast("int")
+
+        def is_cont(bin_col: Column, pos: Column) -> Column:
+            b = byte_at(bin_col, pos)
+            return (b >= 128) & (b < 192)
+
         for ref in fields:
             name = field_name(ref)
             col = F.col(name)
-            truncated = F.decode(F.substring(F.encode(col, "UTF-8"), 1, n), "UTF-8")
+            raw = F.encode(col, "UTF-8")
+            # largest cut ≤ n such that byte(cut+1) is not a continuation
+            # byte — i.e. the prefix ends on a character boundary
+            cut = (
+                F.when(~is_cont(raw, F.lit(n + 1)), F.lit(n))
+                .when(~is_cont(raw, F.lit(n)), F.lit(n - 1))
+                .when(~is_cont(raw, F.lit(n - 1)), F.lit(n - 2))
+                .otherwise(F.lit(n - 3))
+            )
+            truncated = F.decode(F.substring(raw, F.lit(1), cut), "UTF-8")
             df = df.withColumn(
                 name, F.when(F.octet_length(col) > n, truncated).otherwise(col)
             )
@@ -241,7 +266,7 @@ class SyslogPriStage(Stage):
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
         ref = self.conf.get("syslog_pri_field_name", "syslog_pri")
-        pri = field_col(ref).cast("int")
+        pri = field_col(ref).try_cast("int")  # dirty PRI → null, never a throw
         fac_map = F.create_map(
             *[x for i, name in enumerate(_SYSLOG_FACILITIES) for x in (F.lit(i), F.lit(name))]
         )

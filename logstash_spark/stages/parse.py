@@ -284,9 +284,17 @@ class DateStage(Stage):
     """logstash-filter-date:lib/logstash/filters/date.rb.
 
     conf: match [field, fmt1, fmt2, ...] (per-format fallback → one
-    ``coalesce`` chain of ``to_timestamp``), target (default event_ts ≙
-    @timestamp), timezone, tag_on_failure default _dateparsefailure.
-    Special formats: ISO8601, UNIX, UNIX_MS (date.rb's special tokens).
+    ``coalesce`` chain of ``try_to_timestamp``), target (default
+    event_ts ≙ @timestamp), timezone, tag_on_failure default
+    _dateparsefailure. Special formats: ISO8601, UNIX, UNIX_MS
+    (date.rb's special tokens).
+
+    Every parse attempt is a ``try_`` variant: date.rb NEVER aborts on
+    an unparsable value (it tags ``_dateparsefailure``), so each format
+    attempt must yield null for the coalesce chain regardless of the
+    session's ``spark.sql.ansi.enabled`` — the driver gate runs ANSI-on
+    (Spark 4 default) and a throwing ``to_timestamp`` hard-errored the
+    whole query in round 1.
     """
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
@@ -298,13 +306,13 @@ class DateStage(Stage):
         attempts = []
         for fmt in fmts:
             if fmt == "ISO8601":
-                attempts.append(F.to_timestamp(src))
+                attempts.append(F.try_to_timestamp(src))
             elif fmt == "UNIX":
-                attempts.append(F.timestamp_seconds(src.cast("double")))
+                attempts.append(F.timestamp_seconds(src.try_cast("double")))
             elif fmt == "UNIX_MS":
-                attempts.append(F.timestamp_millis(src.cast("long")))
+                attempts.append(F.timestamp_millis(src.try_cast("long")))
             else:
-                parsed = F.to_timestamp(src, _fmt_to_java(fmt))
+                parsed = F.try_to_timestamp(src, F.lit(_fmt_to_java(fmt)))
                 if tz and not any(z in fmt for z in ("Z", "X", "z", "V")):
                     parsed = F.to_utc_timestamp(parsed, tz)
                 attempts.append(parsed)

@@ -38,16 +38,18 @@ class ExtractTextStage(Stage):
 
 @register("parse_url")
 class ParseUrlStage(Stage):
-    """url → domain/path(+query) via native ``F.parse_url`` (JVM-side).
+    """url → domain/path(+query) via native ``F.try_parse_url`` (JVM-side).
 
     conf: source (default url). Adds ``domain`` and ``path`` columns.
+    try_ variant: a malformed url yields nulls (→ failure routing),
+    never an ANSI throw.
     """
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         source = self.conf.get("source", "url")
         src = field_col(source)
-        df = df.withColumn("domain", F.parse_url(src, F.lit("HOST"))).withColumn(
-            "path", F.parse_url(src, F.lit("PATH"))
+        df = df.withColumn("domain", F.try_parse_url(src, F.lit("HOST"))).withColumn(
+            "path", F.try_parse_url(src, F.lit("PATH"))
         )
         return df, F.col("domain").isNotNull()
 

@@ -597,7 +597,8 @@ def throttle_rate(spark, sf_dir):
 @_q(
     "aggregate_by_task",
     """
-    SELECT user_id, SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS total_micros,
+    SELECT user_id,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS total_micros,
            count(*) AS n
     FROM events GROUP BY user_id
     """,
@@ -753,8 +754,10 @@ def route_sink_counts(spark, sf_dir):
     """
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-           SUM(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_cents,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_base_cents,
+           CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS sum_disc_cents,
            count(*) AS n_rows
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
@@ -773,7 +776,8 @@ def pricing_summary(spark, sf_dir):
     "top_customers",
     """
     SELECT c.c_custkey, c.c_name, n.n_name,
-           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
            count(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -804,7 +808,7 @@ def top_customers(spark, sf_dir):
     "events_daily_rollup",
     """
     SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
-           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS value_micros
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
     FROM events GROUP BY 1, 2
     """,
 )

@@ -73,6 +73,8 @@ def run_single(
 
 
 def main():
+    # harness-level heap tuning (inherited by --single subprocesses)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     if len(sys.argv) > 1 and sys.argv[1] == "--single":
         run_single(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), sys.argv[5],
                    sys.argv[6])

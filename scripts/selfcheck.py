@@ -25,6 +25,12 @@ def norm_cell(v):
     import datetime
     import math
 
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -64,9 +70,13 @@ def main():
             continue
         t0 = time.monotonic()
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # pandas conversion on BOTH sides — mirrors the driver gate's
+            # toPandas/fetchdf path (round 1 trap: fetchall() returned
+            # Python ints for DuckDB HUGEINT sums, hiding a float64
+            # coercion the driver's pandas conversion DID hit)
+            spdf = fn(spark, sf_dir).toPandas()
+            scols = list(spdf.columns)
+            srows = list(spdf.itertuples(index=False, name=None))
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
@@ -76,12 +86,26 @@ def main():
             print(f"ok   {name}: rows-only ({len(srows)} rows, {dt:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).fetchdf()
+            dcols = list(dpdf.columns)
+            drows = list(dpdf.itertuples(index=False, name=None))
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        # integral-vs-float dtype splits are exactly the HUGEINT trap:
+        # rows/schema match but every value hash diverges
+        for c in scols:
+            if c in dcols:
+                sk, dk = str(spdf[c].dtype), str(dpdf[c].dtype)
+                s_int = sk.startswith(("int", "uint"))
+                d_int = dk.startswith(("int", "uint"))
+                if s_int != d_int and "object" not in (sk, dk):
+                    failures.append(name)
+                    print(f"FAIL {name}: dtype split on '{c}': spark={sk} duckdb={dk} "
+                          f"(CAST the oracle aggregate)")
+                    break
+        if failures and failures[-1] == name:
             continue
         if sorted(scols) != sorted(dcols):
             failures.append(name)
