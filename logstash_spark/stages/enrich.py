@@ -31,13 +31,53 @@ def ip_to_long(col: Column) -> Column:
     )
 
 
+def load_dictionary_file(path: str) -> dict:
+    """translate.rb's file-based dictionaries: YAML / JSON / CSV by
+    extension. Loaded ONCE at plan time (the reference polls the file
+    every ``refresh_interval``; a batch engine naturally reloads per
+    run — documented equivalence: one refresh per micro-batch run)."""
+    import csv
+    import json
+    import os
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".json":
+        with open(path) as f:
+            return dict(json.load(f))
+    if ext == ".csv":
+        with open(path, newline="") as f:
+            return {row[0]: row[1] for row in csv.reader(f) if len(row) >= 2}
+    if ext in (".yml", ".yaml"):
+        try:
+            import yaml
+
+            with open(path) as f:
+                return dict(yaml.safe_load(f))
+        except ImportError:
+            # minimal flat "key: value" parser — enough for the
+            # translate dictionary shape when PyYAML isn't installed
+            out = {}
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("#") or ":" not in line:
+                        continue
+                    k, v = line.split(":", 1)
+                    out[k.strip().strip("'\"")] = v.strip().strip("'\"")
+            return out
+    raise ValueError(f"unsupported dictionary file type: {path}")
+
+
 @register("translate")
 class TranslateStage(Stage):
     """logstash-filter-translate:lib/logstash/filters/translate.rb.
 
     conf: source, target, dictionary (inline dict → literal create_map,
-    no join at all) OR dictionary_df (2+ column DataFrame, first column
-    is the key → broadcast hash join), fallback (F.coalesce), exact.
+    no join at all) OR dictionary_path (YAML/CSV/JSON file loaded at
+    plan time, ≙ translate.rb's file dictionaries) OR dictionary_df
+    (2+ column DataFrame, first column is the key → broadcast hash
+    join), fallback (F.coalesce), exact (False → keys are regexes,
+    first match wins — a plan-time when-chain of rlike tests).
     Lookup-miss with no fallback leaves target null (reference leaves
     the field unset) and optionally tags ``tag_on_miss``.
     """
@@ -48,8 +88,30 @@ class TranslateStage(Stage):
         fallback = self.conf.get("fallback")
         src = field_col(source)
 
-        if "dictionary" in self.conf:
-            d: dict = self.conf["dictionary"]
+        if "dictionary" in self.conf or "dictionary_path" in self.conf:
+            d: dict = (
+                self.conf["dictionary"]
+                if "dictionary" in self.conf
+                else load_dictionary_file(self.conf["dictionary_path"])
+            )
+            if not self.conf.get("exact", True):
+                # regex-key mode: ordered rlike when-chain (keys are few;
+                # each is one codegen'd regexp test)
+                chain = None
+                for k, v in d.items():
+                    cond = src.rlike(str(k))
+                    chain = (
+                        F.when(cond, F.lit(v)) if chain is None else chain.when(cond, F.lit(v))
+                    )
+                val = chain if chain is not None else F.lit(None).cast("string")
+                matched = val.isNotNull()
+                if fallback is not None:
+                    val = F.coalesce(val, F.lit(fallback))
+                df = df.withColumn(target, val)
+                tag_on_miss = self.conf.get("tag_on_miss")
+                if tag_on_miss:
+                    df = add_tags(df, [tag_on_miss], src.isNotNull() & ~matched)
+                return df, matched
             m = F.create_map(*[x for k, v in d.items() for x in (F.lit(k), F.lit(v))])
             val = m[src]
             if fallback is not None:

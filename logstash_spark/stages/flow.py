@@ -108,6 +108,13 @@ class AggregateStage(Stage):
     with explicit intra-key ordering (``sort_by``) replacing arrival
     order. conf: task_id (field), code (callable pdf→pdf), schema
     (output DDL), sort_by (column for intra-key order).
+
+    ``push_map_as_event`` (≙ aggregate.rb push_map_as_event_on_timeout):
+    originals pass through unchanged AND one reduced "map event" per
+    task_id is appended, flagged ``is_timeout_event`` — in batch mode
+    the timeout is end-of-input (the reference's 5 s PeriodicFlush ≙
+    end-of-micro-batch); the streaming path with real per-key
+    ProcessingTimeTimeout lives in streaming.aggregate_stream.
     """
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
@@ -121,7 +128,12 @@ class AggregateStage(Stage):
                 pdf = pdf.sort_values(sort_by, kind="mergesort")  # stable
             return fn(pdf)
 
-        out = df.groupBy(field_name(task_id)).applyInPandas(run, schema=schema)
+        reduced = df.groupBy(field_name(task_id)).applyInPandas(run, schema=schema)
+        if not self.conf.get("push_map_as_event", False):
+            return reduced, None
+        originals = df.withColumn("is_timeout_event", F.lit(False))
+        flushed = reduced.withColumn("is_timeout_event", F.lit(True))
+        out = originals.unionByName(flushed, allowMissingColumns=True)
         return out, None
 
 

@@ -282,13 +282,43 @@ class SyslogPriStage(Stage):
         return df, pri.isNotNull()
 
 
+_DIGEST_FN = {
+    "MD5": F.md5,
+    "SHA1": F.sha1,
+    "SHA256": lambda c: F.sha2(c, 256),
+    "SHA512": lambda c: F.sha2(c, 512),
+}
+
+
+def hmac_col(src: Column, key: str, method: str = "SHA256") -> Column:
+    """True RFC-2104 HMAC, fully native: the key-derived ipad/opad blocks
+    are plan-time byte literals; per row it's two digest calls plus
+    binary concat — all JVM-side, no UDF. Verified against Python's
+    ``hmac`` in tests (the parity a reference deployment would check).
+    """
+    import hashlib
+
+    block = 128 if method == "SHA512" else 64
+    kb = key.encode("utf-8")
+    if len(kb) > block:
+        kb = hashlib.new(method.lower(), kb).digest()
+    kb = kb.ljust(block, b"\x00")
+    ipad = bytes(b ^ 0x36 for b in kb)
+    opad = bytes(b ^ 0x5C for b in kb)
+    digest = _DIGEST_FN[method]
+    inner_hex = digest(F.concat(F.lit(ipad), F.encode(src, "UTF-8")))
+    return digest(F.concat(F.lit(opad), F.unhex(inner_hex)))
+
+
 @register("fingerprint")
 class FingerprintStage(Stage):
     """logstash-filter-fingerprint: hash field(s) → fingerprint column.
 
     methods: MD5|SHA1|SHA256|SHA512|MURMUR3|XX64 (extension);
     concatenate_sources joins multi-source with '|' like the reference.
-    All native hash functions — JVM codegen path.
+    ``key`` set → true HMAC-<method> (fingerprint.rb's OpenSSL::HMAC),
+    so fingerprints are comparable with a reference deployment.
+    All native hash/concat expressions — JVM codegen path.
     """
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
@@ -303,14 +333,13 @@ class FingerprintStage(Stage):
             src = F.concat_ws("|", *[field_col(s).cast("string") for s in sources])
         key = self.conf.get("key")
         if key:
-            src = F.concat(F.lit(key), src)  # documented deviation: keyed-concat, not true HMAC
+            if method not in _DIGEST_FN:
+                raise ValueError(f"HMAC not supported for method {method}")
+            return df.withColumn(target, hmac_col(src, key, method)), None
         fn = {
-            "MD5": lambda c: F.md5(c),
-            "SHA1": lambda c: F.sha1(c),
-            "SHA256": lambda c: F.sha2(c, 256),
-            "SHA512": lambda c: F.sha2(c, 512),
             "MURMUR3": lambda c: F.hash(c).cast("string"),
             "XX64": lambda c: F.xxhash64(c).cast("string"),
+            **_DIGEST_FN,
         }[method]
         return df.withColumn(target, fn(src)), None
 

@@ -104,3 +104,54 @@ def run_streaming(
     if available_now:
         query.awaitTermination(timeout_sec)
     return query
+
+
+def aggregate_stream(
+    stream: DataFrame,
+    task_id: str,
+    state_schema: str,
+    output_schema: str,
+    init_state: tuple,
+    update_fn,
+    emit_fn,
+    timeout_ms: int = 5000,
+) -> DataFrame:
+    """aggregate filter in streaming mode (SURVEY §2.4 mapping):
+    ``applyInPandasWithState(GroupStateTimeout.ProcessingTimeTimeout)``.
+
+    Per-task_id state accumulates across micro-batches (aggregate.rb's
+    ``map``); when a key sees no events for ``timeout_ms`` the state is
+    emitted as a map event and cleared — exactly
+    ``push_map_as_event_on_timeout`` + ``timeout`` semantics. The
+    reference requires workers=1 for this filter; here keys are the
+    parallel unit and Spark's state store shards them.
+
+    * ``init_state``   — initial accumulator tuple (matches state_schema)
+    * ``update_fn(state_tuple, pdf) -> state_tuple`` — fold one batch
+      of rows (a pandas DataFrame) into the accumulator; vectorized.
+    * ``emit_fn(key_tuple, state_tuple) -> dict`` — the flushed map
+      event row (matches output_schema).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            st = tuple(state.get)
+            state.remove()
+            yield pd.DataFrame([emit_fn(key, st)])
+            return
+        st = tuple(state.get) if state.exists else init_state
+        for pdf in pdfs:
+            st = update_fn(st, pdf)
+        state.update(st)
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame([], columns=[f.split()[0] for f in output_schema.split(",")])
+
+    return stream.groupBy(F.col(task_id)).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

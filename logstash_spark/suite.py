@@ -626,23 +626,52 @@ def aggregate_by_task(spark, sf_dir):
     return out
 
 
+# EWMA constants for flush_interval=3600 (must byte-match the stage's
+# float math — see MetricsStage: a = 2/(60/interval + 1), b = 1-a)
+_EWMA_A = 2.0 / (60.0 / 3600 + 1.0)
+_EWMA_B = 1.0 - _EWMA_A
+
 @_q(
     "metrics_meter",
-    """
-    SELECT event_type AS meter,
-           time_bucket(INTERVAL '3600 seconds', ts) AS window_start,
-           count(*) AS count,
-           count(*) / 3600.0 AS rate
-    FROM events GROUP BY 1, 2
+    f"""
+    WITH counts AS (
+      SELECT CAST(event_type AS VARCHAR) AS meter,
+             time_bucket(INTERVAL '3600 seconds', ts) AS ws,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), rated AS (
+      SELECT meter, ws, cnt, cnt / 3600.0 AS rate FROM counts
+    ), packed AS (
+      SELECT meter,
+             list(ws ORDER BY ws) AS wss,
+             list(cnt ORDER BY ws) AS cnts,
+             list(rate ORDER BY ws) AS rates
+      FROM rated GROUP BY meter
+    )
+    SELECT meter,
+           unnest(wss) AS window_start,
+           unnest(cnts) AS count,
+           unnest(rates) AS rate,
+           unnest(list_transform(generate_series(1, len(rates)),
+                  i -> round(list_reduce(list_slice(rates, 1, i),
+                       (acc, r) -> CAST({_EWMA_A!r} AS DOUBLE) * r
+                                 + CAST({_EWMA_B!r} AS DOUBLE) * acc), 6)))
+             AS rate_1m
+    FROM packed
     """,
 )
 def metrics_meter(spark, sf_dir):
+    """metrics filter incl. the recursive EWMA rate — the oracle
+    replicates the same left-fold (list_reduce seeds with the first
+    element, f(acc, r) = a·r + b·acc); both sides round to 6 decimals
+    (DuckDB's fold fuses the multiply-add, ~1e-18 apart from numpy)."""
     ev = _t(spark, sf_dir, "events")
     out, _ = build_stage(
         {"metrics": {"meter": "event_type", "flush_interval": 3600,
                      "timestamp_field": "ts"}}
     ).transform(ev)
-    return out.select("meter", "window_start", "count", "rate")
+    return out.select("meter", "window_start", "count", "rate",
+                      F.round("rate_1m", 6).alias("rate_1m"))
 
 
 @_q(
@@ -1012,3 +1041,359 @@ def textstats_fingerprint(spark, sf_dir):
     return docs.select(
         "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint_rolling")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 coverage: useragent / tld / truthiness / DLQ / resume / syslog
+# grok / translate file+regex dicts / HMAC / aggregate timeout events
+# ---------------------------------------------------------------------------
+
+_UA_STRINGS = [
+    "Mozilla/5.0 (X11; Linux x86_64) Gecko/20100101 Firefox/102.0",
+    "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 Chrome/120.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X) Version/16.0 Safari/605.1",
+    "acmebot/2.1 (+http://acme.example/bot)",
+]
+# (pattern, name, os, device, priority) — priority order IS the matching
+# contract (uap-core: first rule wins), which is why Chrome outranks
+# Safari despite both substrings appearing in Chrome UAs.
+_UA_RULES = [
+    ("bot", "AcmeBot", "Other", "Spider", 0),
+    ("Firefox/", "Firefox", "Linux", "Other", 1),
+    ("Chrome/", "Chrome", "Windows", "Other", 2),
+    ("Safari", "Safari", "Mac OS X", "Other", 3),
+]
+
+
+@_q(
+    "useragent_parse",
+    f"""
+    WITH ua AS (
+      SELECT event_id,
+             (['{_UA_STRINGS[0]}', '{_UA_STRINGS[1]}',
+               '{_UA_STRINGS[2]}', '{_UA_STRINGS[3]}'])[CAST(user_id % 4 AS INT) + 1]
+               AS agent
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN regexp_matches(agent, 'bot') THEN 'AcmeBot'
+                WHEN regexp_matches(agent, 'Firefox/') THEN 'Firefox'
+                WHEN regexp_matches(agent, 'Chrome/') THEN 'Chrome'
+                WHEN regexp_matches(agent, 'Safari') THEN 'Safari' END AS ua_name,
+           CASE WHEN regexp_matches(agent, 'bot') THEN 'Other'
+                WHEN regexp_matches(agent, 'Firefox/') THEN 'Linux'
+                WHEN regexp_matches(agent, 'Chrome/') THEN 'Windows'
+                WHEN regexp_matches(agent, 'Safari') THEN 'Mac OS X' END AS ua_os,
+           CASE WHEN regexp_matches(agent, 'bot') THEN 'Spider'
+                ELSE 'Other' END AS ua_device
+    FROM ua
+    """,
+)
+def useragent_parse(spark, sf_dir):
+    """useragent filter: priority-ordered regex dim over a broadcast
+    rule set (uap-core first-match contract), vectorized str.contains."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "agent",
+        F.element_at(
+            F.array(*[F.lit(u) for u in _UA_STRINGS]),
+            F.pmod(F.col("user_id"), F.lit(4)).cast("int") + 1,
+        ),
+    )
+    rules = spark.createDataFrame(
+        _UA_RULES, "pattern string, name string, os string, device string, priority int"
+    )
+    out = apply_stage(ev, {"useragent": {"source": "agent", "rules_df": rules}})
+    return out.select(
+        "event_id",
+        F.col("ua.name").alias("ua_name"),
+        F.col("ua.os").alias("ua_os"),
+        F.col("ua.device").alias("ua_device"),
+    )
+
+
+@_q(
+    "tld_extract",
+    """
+    WITH u AS (
+      SELECT event_id,
+             'www.' || event_type ||
+             (['.com', '.co.uk', '.org'])[CAST(user_id % 3 AS INT) + 1] AS host,
+             CAST(user_id % 3 AS INT) AS k
+      FROM events
+    )
+    SELECT event_id, host AS domain,
+           (['com', 'co.uk', 'org'])[k + 1] AS tld
+    FROM u
+    """,
+)
+def tld_extract(spark, sf_dir):
+    """tld filter: public-suffix longest-match when-chain ('co.uk' must
+    win over 'uk') over try_parse_url host extraction."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."), F.col("event_type"),
+            F.element_at(
+                F.array(F.lit(".com"), F.lit(".co.uk"), F.lit(".org")),
+                F.pmod(F.col("user_id"), F.lit(3)).cast("int") + 1,
+            ),
+            F.lit("/p"),
+        ),
+    )
+    out = apply_stage(
+        ev, {"tld": {"source": "url", "suffixes": ["com", "org", "uk", "co.uk"]}}
+    )
+    return out.select("event_id", "domain", "tld")
+
+
+@_q(
+    "truthiness_conditions",
+    """
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN value < 50 THEN NULL ELSE event_type END AS maybe,
+             CASE WHEN value > 400 THEN NULL ELSE value > 250 END AS flag
+      FROM events
+    )
+    SELECT event_id,
+           maybe IS NOT NULL AS t_field,
+           flag IS NOT NULL AND flag AS t_bool,
+           NOT (maybe IS NOT NULL) AS t_not
+    FROM t
+    """,
+)
+def truthiness_conditions(spark, sf_dir):
+    """Bare `if [f]` truthiness: existence for non-boolean fields,
+    existence AND true for booleans; `![f]` negation (EventCondition
+    'truthy' branch)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") < 50, F.lit(None)).otherwise(F.col("event_type")).alias("maybe"),
+        F.when(F.col("value") > 400, F.lit(None)).otherwise(F.col("value") > 250).alias("flag"),
+    )
+    return ev.select(
+        "event_id",
+        compile_condition("[maybe]", ev).alias("t_field"),
+        compile_condition("[flag]", ev).alias("t_bool"),
+        compile_condition("![maybe]", ev).alias("t_not"),
+    )
+
+
+@_q(
+    "dlq_route",
+    """
+    SELECT event_id,
+           '_grokparsefailure' AS error_stage,
+           '_grokparsefailure' AS error_reason
+    FROM events WHERE value < 50
+    """,
+)
+def dlq_route(spark, sf_dir):
+    """Dead-letter queue projection: rows with failure tags → the DLQ
+    schema (error_stage = first failure tag, error_reason = all tags,
+    original payload struct) — DeadLetterQueueWriter/DLQEntry parity."""
+    from .router import dlq_projection, failure_tag_predicate
+
+    ev = _events_msg(
+        spark, sf_dir,
+        F.when(F.col("value") < 50, F.lit("garbage line"))
+        .otherwise(F.concat(F.lit("id="), F.col("user_id").cast("string"))),
+    )
+    parsed = apply_stage(ev, {"grok": {"match": {"message": "id=%{INT:uid}"}}})
+    dlq = dlq_projection(parsed.filter(failure_tag_predicate(parsed)))
+    return dlq.select(
+        F.col("original.event_id").alias("event_id"), "error_stage", "error_reason"
+    )
+
+
+@_q(
+    "checkpoint_resume",
+    """
+    SELECT 'sink_hi' AS sink, count(*) AS n FROM events WHERE value > 250
+    UNION ALL
+    SELECT 'sink_lo' AS sink, count(*) AS n FROM events WHERE NOT (value > 250)
+    """,
+)
+def checkpoint_resume(spark, sf_dir):
+    """END-TO-END resume: run a routed pipeline in 4 micro-batches,
+    crash after batch 0 (simulated), resume from the checkpoint
+    manifest, then count the rows actually SITTING IN the sink parquet.
+    The oracle is the branch predicate — equality proves the crashual
+    rerun neither lost nor duplicated any bucket's rows."""
+    import shutil
+
+    from .pipeline import Pipeline
+
+    run_dir = f"/tmp/suite_ckpt_resume_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events")
+    spec = {
+        "id": "resume_suite",
+        "filters": [],
+        "outputs": [
+            {"name": "sink_hi", "when": "[value] > 250"},
+            {"name": "sink_lo", "when": "!([value] > 250)"},
+        ],
+    }
+    pipe = Pipeline(spec)
+    try:
+        pipe.run(ev, run_dir, bucket_on="event_id", n_buckets=8, n_batches=4,
+                 _fail_after_batch=0)
+    except RuntimeError:
+        pass  # the simulated crash
+    Pipeline(spec).run(ev, run_dir, bucket_on="event_id", n_buckets=8, n_batches=4,
+                       resume=True)
+    parts = [
+        spark.read.parquet(f"{run_dir}/{name}")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(name).alias("sink"), "n")
+        for name in ("sink_hi", "sink_lo")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+@_q(
+    "grok_syslogline",
+    """
+    SELECT event_id,
+           'Jan ' || CAST(user_id % 27 + 1 AS VARCHAR) || ' '
+                  || strftime(ts, '%H:%M:%S') AS timestamp,
+           'host' || CAST(user_id % 10 AS VARCHAR) AS logsource,
+           event_type AS program,
+           CAST(user_id % 5000 + 1 AS VARCHAR) AS pid,
+           'done id=' || CAST(event_id AS VARCHAR) AS message
+    FROM events
+    """,
+)
+def grok_syslogline(spark, sf_dir):
+    """SYSLOGLINE composite (linux-syslog family): timestamp + host +
+    program[pid] + message captures from one pattern-library entry."""
+    ev = _events_msg(
+        spark, sf_dir,
+        F.concat(
+            F.lit("Jan "), (F.pmod(F.col("user_id"), F.lit(27)) + 1).cast("string"),
+            F.lit(" "), F.date_format("ts", "HH:mm:ss"),
+            F.lit(" host"), F.pmod(F.col("user_id"), F.lit(10)).cast("string"),
+            F.lit(" "), F.col("event_type"),
+            F.lit("["), (F.pmod(F.col("user_id"), F.lit(5000)) + 1).cast("string"),
+            F.lit("]: done id="), F.col("event_id").cast("string"),
+        ),
+    )
+    out = apply_stage(
+        ev, {"grok": {"match": {"message": "%{SYSLOGLINE}"},
+                      "overwrite": ["message"]}}
+    )
+    return out.select("event_id", "timestamp", "logsource", "program", "pid", "message")
+
+
+_TRANSLATE_ORACLE = """
+    SELECT event_id,
+           CASE event_type
+             WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+             WHEN 'purchase' THEN 'revenue' ELSE 'other' END AS category
+    FROM events
+"""
+
+
+@_q("translate_file_dict", _TRANSLATE_ORACLE)
+def translate_file_dict(spark, sf_dir):
+    """translate with a FILE dictionary (translate.rb YAML/CSV/JSON
+    dictionary_path) — loaded once at plan time into a literal map."""
+    import json as _json
+
+    path = "/tmp/suite_translate_dict.json"
+    with open(path, "w") as f:
+        _json.dump({"click": "engagement", "view": "engagement",
+                    "purchase": "revenue"}, f)
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(
+        ev,
+        {"translate": {"source": "event_type", "target": "category",
+                       "dictionary_path": path, "fallback": "other"}},
+    )
+    return out.select("event_id", "category")
+
+
+@_q(
+    "translate_regex_keys",
+    """
+    SELECT event_id,
+           CASE WHEN regexp_matches(event_type, '^(click|view)$') THEN 'engagement'
+                WHEN regexp_matches(event_type, 'chase') THEN 'revenue'
+                ELSE 'other' END AS category
+    FROM events
+    """,
+)
+def translate_regex_keys(spark, sf_dir):
+    """translate with regex keys (exact => false): ordered rlike
+    when-chain, first matching key wins."""
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(
+        ev,
+        {"translate": {"source": "event_type", "target": "category",
+                       "dictionary": {"^(click|view)$": "engagement",
+                                      "chase": "revenue"},
+                       "exact": False, "fallback": "other"}},
+    )
+    return out.select("event_id", "category")
+
+
+def _hmac_literal_oracle() -> str:
+    import hashlib
+    import hmac as _hmac
+
+    whens = "\n".join(
+        f"             WHEN '{t}' THEN '{_hmac.new(b's3cr3t', t.encode(), hashlib.sha256).hexdigest()}'"
+        for t in ("click", "error", "purchase", "signup", "view")
+    )
+    return f"""
+    SELECT event_id,
+           CASE event_type
+{whens}
+           END AS fp
+    FROM events
+    """
+
+
+@_q("fingerprint_hmac", _hmac_literal_oracle())
+def fingerprint_hmac(spark, sf_dir):
+    """fingerprint with key ⇒ TRUE RFC-2104 HMAC-SHA256 (OpenSSL::HMAC
+    parity). The oracle's expected digests are computed by Python's
+    stdlib hmac — an independent implementation, stronger than a SQL
+    re-derivation."""
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(
+        ev, {"fingerprint": {"source": "event_type", "method": "SHA256",
+                             "key": "s3cr3t", "target": "fp"}}
+    )
+    return out.select("event_id", "fp")
+
+
+@_q(
+    "aggregate_timeout_flush",
+    """
+    SELECT user_id, false AS is_timeout_event, CAST(NULL AS BIGINT) AS n, event_id
+    FROM events
+    UNION ALL
+    SELECT user_id, true AS is_timeout_event, count(*) AS n,
+           CAST(NULL AS BIGINT) AS event_id
+    FROM events GROUP BY user_id
+    """,
+)
+def aggregate_timeout_flush(spark, sf_dir):
+    """aggregate push_map_as_event_on_timeout: originals flow through
+    AND one flushed map event per task_id is appended (batch timeout =
+    end-of-input; streaming path: streaming.aggregate_stream)."""
+    import pandas as pd
+
+    def reduce_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "n": [len(pdf)]})
+
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(
+        ev,
+        {"aggregate": {"task_id": "user_id", "code": reduce_fn,
+                       "schema": "user_id long, n long",
+                       "push_map_as_event": True}},
+    )
+    return out.select("user_id", "is_timeout_event", "n", "event_id")

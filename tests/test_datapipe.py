@@ -143,3 +143,22 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_frames(media)
     assert frames.count() > 0
     assert frames.columns == ["doc_id", "frame_idx", "frame_payload", "decoder"]
+
+
+def test_minhash_hot_bucket_skew(spark):
+    """The 100 TB degenerate case: 1k near-identical docs land in the
+    same LSH buckets. Representative pairing keeps the join linear in
+    the bucket (no quadratic blowup) and still drops every duplicate."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base) for i in range(1000)]
+    rows += [(1000 + i, f"unique document number {i} with its own distinct words "
+                        f"alpha{i} beta{i} gamma{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = dedup.minhash_bucket_stats(df)
+    assert stats["max_bucket"] == 1000
+    assert stats["hot_buckets"] >= 1  # the cap path is actually exercised
+    out = dedup.minhash_dedup(df, threshold=0.8)
+    kept = sorted(r.doc_id for r in out.collect())
+    # one survivor (min id) from the identical cluster + all uniques
+    assert kept[0] == 0
+    assert len(kept) == 1 + 50

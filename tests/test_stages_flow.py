@@ -117,3 +117,52 @@ def test_metrics_stage(spark):
     assert got[("click", 0)] == 5 and got[("view", 0)] == 5
     assert got[("click", 10)] == 5 and got[("view", 10)] == 5
     assert all(r.rate == r["count"] / 10.0 for r in out.collect())
+
+
+def test_metrics_ewma_long_series_stays_finite(spark):
+    """10k flush windows: the old closed-form pow(1-a, -rn) overflowed
+    to inf within a few thousand windows; the recursion must not."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(10_000)
+        .select(
+            F.lit("m").alias("event_type"),
+            F.timestamp_seconds(F.col("id") * 10).alias("event_ts"),
+        )
+    )
+    out = apply_stage(df, {"metrics": {"meter": "event_type", "flush_interval": 10}})
+    pdf = out.toPandas().sort_values("window_start")
+    assert len(pdf) == 10_000
+    assert all(math.isfinite(x) for x in pdf["rate_1m"])
+    # exact recursion check against a python loop
+    a = 2.0 / (60.0 / 10 + 1.0)
+    b = 1.0 - a
+    acc = None
+    for r, e in zip(pdf["rate"], pdf["rate_1m"]):
+        acc = r if acc is None else a * r + b * acc
+        assert e == acc
+
+
+def test_aggregate_push_map_as_event(spark):
+    """push_map_as_event_on_timeout: originals pass through AND one
+    flushed map event per task_id is appended (batch = end-of-input)."""
+
+    def reduce_fn(pdf):
+        return pd.DataFrame({"task_id": [pdf["task_id"].iloc[0]], "n": [len(pdf)]})
+
+    df = spark.createDataFrame(
+        [(1, "t1"), (2, "t1"), (3, "t2")], "id int, task_id string"
+    )
+    out = apply_stage(
+        df,
+        {"aggregate": {"task_id": "task_id", "code": reduce_fn,
+                       "schema": "task_id string, n long",
+                       "push_map_as_event": True}},
+    ).collect()
+    originals = [r for r in out if not r.is_timeout_event]
+    flushed = {r.task_id: r.n for r in out if r.is_timeout_event}
+    assert len(originals) == 3 and all(r.n is None for r in originals)
+    assert flushed == {"t1": 2, "t2": 1}

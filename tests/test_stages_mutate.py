@@ -131,3 +131,52 @@ def test_ruby_vectorized_udf(spark):
 def test_de_dot(spark):
     df = spark.createDataFrame([(1, "v")], ["id", "dotted.name"])
     assert "dotted_name" in apply_stage(df, {"de_dot": {}}).columns
+
+
+def test_fingerprint_hmac_matches_stdlib(spark):
+    """True RFC-2104 HMAC parity with Python's stdlib (the check a
+    reference deployment would run against OpenSSL::HMAC digests)."""
+    import hashlib
+    import hmac
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "wörld ünïcode"), (3, None)], "id int, message string"
+    )
+    mods = {"SHA256": hashlib.sha256, "SHA1": hashlib.sha1,
+            "MD5": hashlib.md5, "SHA512": hashlib.sha512}
+    for method, mod in mods.items():
+        out = {
+            r.id: r.fingerprint
+            for r in apply_stage(
+                df, {"fingerprint": {"source": "message", "key": "k3y!",
+                                     "method": method}}
+            ).collect()
+        }
+        assert out[1] == hmac.new(b"k3y!", b"hello", mod).hexdigest()
+        assert out[2] == hmac.new(b"k3y!", "wörld ünïcode".encode(), mod).hexdigest()
+        assert out[3] is None
+    # key longer than the 64-byte block → hashed-key path
+    long_key = "K" * 100
+    out = {
+        r.id: r.fingerprint
+        for r in apply_stage(
+            df, {"fingerprint": {"source": "message", "key": long_key,
+                                 "method": "SHA256"}}
+        ).collect()
+    }
+    import hashlib as _h
+    import hmac as _hm
+
+    assert out[1] == _hm.new(long_key.encode(), b"hello", _h.sha256).hexdigest()
+
+
+def test_truncate_utf8_boundary(spark):
+    """Byte-true truncation backs up to a UTF-8 char boundary — never
+    emits broken UTF-8, never throws under ANSI sessions."""
+    s = "aé€😀xyz"  # widths: 1,2,3,4,1,1,1 bytes
+    df = spark.createDataFrame([(1, s)], "id int, message string")
+    for n, expected in [(3, "aé"), (4, "aé"), (5, "aé"), (6, "aé€"),
+                        (7, "aé€"), (10, "aé€😀"), (13, s), (50, s)]:
+        out = apply_stage(df, {"truncate": {"length_bytes": n}}).collect()[0]
+        assert out.message == expected, (n, out.message, expected)
+        assert len(out.message.encode()) <= n

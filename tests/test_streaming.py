@@ -99,3 +99,48 @@ def test_streaming_resume_checkpoint(spark, tmp_path):
     run_streaming(pipe, stream2, run_dir, n_buckets=4, timeout_sec=300)
     out = spark.read.parquet(f"{run_dir}/sink_all")
     assert out.count() == 80  # 50 old (not duplicated) + 30 new
+
+
+def test_aggregate_stream_timeout(spark, tmp_path):
+    """aggregate's streaming mode: applyInPandasWithState accumulates
+    per-key state across micro-batches and flushes the map as an event
+    on ProcessingTimeTimeout (push_map_as_event_on_timeout parity)."""
+    import time
+
+    from logstash_spark.streaming import aggregate_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("k1", 10), ("k1", 5), ("k2", 7)], "k string, v long"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_from_directory(spark, src, "k string, v long")
+    out = aggregate_stream(
+        stream,
+        task_id="k",
+        state_schema="n long, total long",
+        output_schema="k string, n long, total long",
+        init_state=(0, 0),
+        update_fn=lambda st, pdf: (st[0] + len(pdf), st[1] + int(pdf["v"].sum())),
+        emit_fn=lambda key, st: {"k": key[0], "n": st[0], "total": st[1]},
+        timeout_ms=1500,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("agg_stream_q")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        got = {}
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline and len(got) < 2:
+            time.sleep(1.0)
+            for r in spark.sql("SELECT * FROM agg_stream_q").collect():
+                got[r.k] = (r.n, r.total)
+        assert got.get("k1") == (2, 15), got
+        assert got.get("k2") == (1, 7), got
+    finally:
+        q.stop()
