@@ -53,6 +53,25 @@ def cosine_topk(
     )
 
 
+def probe_buckets(query_vec, n_planes: int = 8, multiprobe: int = 1, seed: int = 42) -> list[int]:
+    """Query bucket + all buckets within ``multiprobe`` hamming bits."""
+    dim = len(query_vec)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = int(sum((1 << p) for p in range(n_planes) if planes[p] @ q >= 0))
+    probe = [qbucket]
+    if multiprobe >= 1:
+        probe += [qbucket ^ (1 << b) for b in range(n_planes)]
+    if multiprobe >= 2:
+        probe += [
+            qbucket ^ (1 << b1) ^ (1 << b2)
+            for b1 in range(n_planes)
+            for b2 in range(b1 + 1, n_planes)
+        ]
+    return probe
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec,
@@ -64,29 +83,66 @@ def ann_lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """LSH-bucketed ANN: scan only buckets within `multiprobe` bits of
-    the query's bucket, exact cosine inside them."""
+    the query's bucket, exact cosine inside them. The bucket here is a
+    computed column, so pruning is a post-scan filter — the 100 TB
+    layout materializes it instead (write_ann_index /
+    ann_lsh_topk_indexed: bucket = partition directory, pruning happens
+    at the FILE LISTING, not after reading)."""
     dim = len(query_vec)
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    q = np.asarray(query_vec, dtype=np.float64)
-    qbucket = int(sum((1 << p) for p in range(n_planes) if planes[p] @ q >= 0))
-
-    probe = [qbucket]
-    if multiprobe >= 1:
-        probe += [qbucket ^ (1 << b) for b in range(n_planes)]
-    if multiprobe >= 2:
-        probe += [
-            qbucket ^ (1 << b1) ^ (1 << b2)
-            for b1 in range(n_planes)
-            for b2 in range(b1 + 1, n_planes)
-        ]
-
+    probe = probe_buckets(query_vec, n_planes, multiprobe, seed)
     bucketed = df.withColumn(
         "__bucket", hyperplane_signature(F.col(emb_col), n_planes, dim, seed)
     )
     cand = bucketed.filter(F.col("__bucket").isin(probe))
     return (
         cand.select(F.col(id_col), F.round(cosine_sim(F.col(emb_col), _lit_vec(query_vec)), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def write_ann_index(
+    df: DataFrame,
+    path: str,
+    emb_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> None:
+    """Materialize the ANN index: rows written PARTITIONED BY their LSH
+    bucket (one directory per bucket value). At query time the probe
+    set becomes a partition filter — Spark prunes non-probed buckets at
+    file-listing time, so a multiprobe=1 query over 2^n_planes buckets
+    touches (n_planes+1)/2^n_planes of the data on disk. This is the
+    100 TB story the computed-column variant can't deliver."""
+    bucketed = df.withColumn(
+        "bucket", hyperplane_signature(F.col(emb_col), n_planes, dim, seed)
+    )
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ann_lsh_topk_indexed(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN over a write_ann_index layout: `bucket` is a PARTITION
+    column, so the isin(probe) predicate shows up as PartitionFilters
+    in the scan and non-probed directories are never opened."""
+    probe = probe_buckets(query_vec, n_planes, multiprobe, seed)
+    df = spark.read.parquet(path)
+    cand = df.filter(F.col("bucket").isin(probe))
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine_sim(F.col(emb_col), _lit_vec(query_vec)), 6).alias("cosine"),
+        )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )

@@ -62,16 +62,43 @@ class Pipeline:
 
     # ---- the compiled filter chain -----------------------------------------
     def compile(self, df: DataFrame) -> DataFrame:
+        """Lower the stage list into ONE DataFrame expression DAG.
+
+        Conditional (``when``-wrapped) stages: Catalyst does NOT share a
+        common subtree across the two branches of a filter/union, so the
+        naive ``filter(cond) → stage → union filter(~cond)`` executes
+        everything upstream twice per conditional (round-1 finding).
+        Row-preserving stages with a statically known write-set instead
+        lower to when/otherwise column merges on the single DataFrame —
+        the stage runs over all rows, its outputs gated per row by the
+        condition (the reference's Dataset#compute memoization
+        equivalent). Cardinality/shape-changing stages keep the branch
+        lowering but persist the upstream first so it executes once;
+        those persists are released by ``release_branch_caches()``
+        (pipeline.run calls it after each batch).
+        """
         df = ensure_tags(df)
+        self._branch_caches: list[DataFrame] = []
         for when, stage in self.stages:
             if when is None:
                 df = stage.apply(df)
+                continue
+            cond = compile_condition(when, df)
+            targets = stage.conditional_targets(df)
+            if targets is not None:
+                df = _conditional_merge(df, stage, cond, targets)
             else:
-                cond = compile_condition(when, df)
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                self._branch_caches.append(df)
                 matched = stage.apply(df.filter(cond))
                 rest = df.filter(~F.coalesce(cond, F.lit(False)))
                 df = matched.unionByName(rest, allowMissingColumns=True)
         return df
+
+    def release_branch_caches(self) -> None:
+        for cached in getattr(self, "_branch_caches", []):
+            cached.unpersist()
+        self._branch_caches = []
 
     # ---- failure-tag census (per-stage metrics) ----------------------------
     def _stage_failure_tags(self) -> dict[str, list[str]]:
@@ -156,6 +183,7 @@ class Pipeline:
                 sink_counts = self.router.write_batch(routed, run_dir)
             finally:
                 routed.unpersist()
+                self.release_branch_caches()
             duration_ms = int((time.monotonic() - t0) * 1000)
 
             m = PipelineMetrics(self.id)
@@ -189,6 +217,35 @@ class Pipeline:
 
         total.write(f"{run_dir}/metrics.json")
         return total
+
+
+_COND = "__when_cond"
+
+
+def _conditional_merge(df: DataFrame, stage, cond, targets: list[str]) -> DataFrame:
+    """Lower ``if cond { stage }`` into column merges on one DataFrame.
+
+    1. pin the condition (evaluated against PRE-stage columns);
+    2. back up every target column that already exists;
+    3. run the stage over ALL rows (one subtree execution);
+    4. per target: matched rows take the stage's value, others keep the
+       backup (or null for brand-new columns).
+    """
+    pre = df.withColumn(_COND, F.coalesce(cond, F.lit(False)))
+    backups: dict[str, str] = {}
+    for c in targets:
+        if c in df.columns:
+            backups[c] = f"__orig_{c}"
+            pre = pre.withColumn(backups[c], F.col(c))
+    out = stage.apply(pre)
+    for c in targets:
+        if c in backups:
+            out = out.withColumn(
+                c, F.when(F.col(_COND), F.col(c)).otherwise(F.col(backups[c]))
+            )
+        elif c in out.columns:
+            out = out.withColumn(c, F.when(F.col(_COND), F.col(c)))
+    return out.drop(_COND, *backups.values())
 
 
 def _failure_census(

@@ -93,6 +93,25 @@ def dlq_projection(df: DataFrame) -> DataFrame:
     return out
 
 
+def _csv_safe(df: DataFrame) -> DataFrame:
+    """Spark's CSV writer rejects array/map/struct columns, and every
+    compiled pipeline carries at least ``tags: array<string>`` — so any
+    LSCL config with a ``csv { }`` output used to die at write time
+    with AnalysisException. Auto-derive a scalar projection: string
+    arrays join with ','; other complex types serialize ``to_json``
+    (the same flattening logstash-output-csv users do by hand)."""
+    cols = []
+    for name, dtype in df.dtypes:
+        c = F.col(name)
+        if dtype.startswith("array<string>"):
+            cols.append(F.array_join(c, ",").alias(name))
+        elif dtype.startswith(("array", "map", "struct")):
+            cols.append(F.to_json(c).alias(name))
+        else:
+            cols.append(c)
+    return df.select(*cols)
+
+
 class Router:
     def __init__(self, sinks: list[dict | SinkSpec]):
         self.sinks = [s if isinstance(s, SinkSpec) else SinkSpec.from_dict(s) for s in sinks]
@@ -104,7 +123,8 @@ class Router:
                 if sink.when in (None, DLQ_DEFAULT_CONDITION)
                 else compile_condition(sink.when, df)
             )
-            return dlq_projection(df.filter(pred))
+            dlq = dlq_projection(df.filter(pred))
+            return _csv_safe(dlq) if sink.fmt == "csv" else dlq
         branch = df.filter(compile_condition(sink.when, df)) if sink.when else df
         if METADATA_FIELD in branch.columns:
             branch = branch.drop(METADATA_FIELD)
@@ -113,6 +133,8 @@ class Router:
             if "bucket" in branch.columns and "bucket" not in keep:
                 keep.append("bucket")
             branch = branch.select(*keep)
+        if sink.fmt == "csv":
+            branch = _csv_safe(branch)
         return branch
 
     def write_batch(

@@ -72,6 +72,32 @@ class Stage:
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
         raise NotImplementedError
 
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        """Columns this stage writes (new or overwritten), or None when
+        not statically expressible — None forces the conditional
+        compiler onto the persist+filter/union fallback. Stages whose
+        output depends on OTHER rows (windows, groupBys, explodes) MUST
+        return None: merging a full-df computation into a conditional
+        would change their semantics, not just their cost."""
+        return None
+
+    def conditional_targets(self, df: DataFrame) -> list[str] | None:
+        """Full write-set under an LSCL ``if`` wrapper: the stage's own
+        targets plus the common-option targets (add_field/add_tag/
+        remove_field/remove_tag land on columns too). Used by
+        Pipeline.compile to lower ``if cond { stage }`` into
+        when/otherwise column merges on the SINGLE DataFrame — the
+        reference's Dataset#compute memoization equivalent (without it
+        the upstream subtree executes once per conditional branch)."""
+        own = self._targets(df)
+        if own is None:
+            return None
+        extra = [field_name(r) for r in self.add_field]
+        extra += [field_name(r) for r in self.remove_field]
+        if self.add_tag or self.remove_tag:
+            extra.append(TAGS_FIELD)
+        return list(dict.fromkeys(list(own) + extra))
+
     # ---- common-option wrapper (filters/base.rb filter_matched) ------------
     def apply(self, df: DataFrame) -> DataFrame:
         out, matched = self.transform(df)

@@ -82,6 +82,12 @@ class TranslateStage(Stage):
     the field unset) and optionally tags ``tag_on_miss``.
     """
 
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        out = [self.conf.get("target", "translation")]
+        if self.conf.get("tag_on_miss"):
+            out.append("tags")
+        return out
+
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         source = self.conf["source"]
         target = self.conf.get("target", "translation")
@@ -156,6 +162,9 @@ class GeoipStage(Stage):
     """
 
     AUTO_THRESHOLD = 2000
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return [self.conf.get("target", "geo"), "tags"]
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         source = self.conf["source"]
@@ -245,6 +254,9 @@ class UseragentStage(Stage):
     ``str.contains`` per rule over only still-unmatched rows.
     """
 
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return [self.conf.get("target", "ua")]
+
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         source = self.conf["source"]
         target = self.conf.get("target", "ua")
@@ -289,6 +301,9 @@ class CidrStage(Stage):
     (tags/fields via common options). Networks resolve to [lo, hi] at
     plan time; the test is a native OR-chain of BETWEENs."""
 
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return []  # writes only __matched (dropped); common options do the rest
+
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         import ipaddress
 
@@ -313,6 +328,9 @@ class TldStage(Stage):
     longest match wins — resolved at plan time into ONE when-chain
     ordered by label count, all JVM-side). Adds ``domain`` and ``tld``.
     """
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return ["domain", "tld"]
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         source = self.conf.get("source", "url")

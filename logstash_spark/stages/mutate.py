@@ -39,6 +39,26 @@ class MutateStage(Stage):
     projection — zero Python at runtime.
     """
 
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        if "rename" in self.conf:
+            return None  # schema reshape → conditional falls back to branch
+        out: list[str] = []
+        for op in MUTATE_ORDER:
+            if op not in self.conf:
+                continue
+            arg = self.conf[op]
+            if op == "gsub":
+                out += [field_name(arg[i]) for i in range(0, len(arg), 3)]
+            elif op == "copy":
+                out += [field_name(v) for v in arg.values()]
+            elif op == "merge":
+                out += [field_name(k) for k in arg]
+            elif isinstance(arg, dict):
+                out += [field_name(k) for k in arg]
+            else:  # case/strip lists
+                out += [field_name(r) for r in arg]
+        return list(dict.fromkeys(out))
+
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
         for op in MUTATE_ORDER:
             if op not in self.conf:
@@ -194,6 +214,9 @@ class UrlDecodeStage(Stage):
     %-escape yields null, never an ANSI throw (urldecode.rb likewise
     never aborts — it tags the event and keeps flowing)."""
 
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return [field_name(self.conf.get("field", "message"))]
+
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
         ref = self.conf.get("field", "message")
         name = field_name(ref)
@@ -212,6 +235,10 @@ class TruncateStage(Stage):
     UTF-8 either (truncate.rb cuts the Ruby string, which is
     codepoint-aware). All native: byte probing via hex/conv — no UDF.
     """
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        fields = self.conf.get("fields", ["message"])
+        return [field_name(r) for r in ([fields] if isinstance(fields, str) else fields)]
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
         n = int(self.conf["length_bytes"])
@@ -263,6 +290,10 @@ _SYSLOG_SEVERITIES = [
 class SyslogPriStage(Stage):
     """logstash-filter-syslog_pri: <PRI> → facility/severity (arithmetic
     + small literal create_map lookups; all JVM-side)."""
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return ["syslog_facility_code", "syslog_severity_code",
+                "syslog_facility", "syslog_severity"]
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
         ref = self.conf.get("syslog_pri_field_name", "syslog_pri")
@@ -321,6 +352,9 @@ class FingerprintStage(Stage):
     All native hash/concat expressions — JVM codegen path.
     """
 
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return [self.conf.get("target", "fingerprint")]
+
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
         sources = self.conf.get("source", ["message"])
         if isinstance(sources, str):
@@ -349,6 +383,9 @@ class UuidStage(Stage):
     """logstash-filter-uuid. Deterministic test mode: hash-derived UUID
     from a seed field (SURVEY §7 determinism note)."""
 
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return [self.conf.get("target", "uuid")]
+
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
         target = self.conf.get("target", "uuid")
         seed_field = self.conf.get("deterministic_from")
@@ -374,6 +411,11 @@ class RubyStage(Stage):
     ``code`` = callable, ``source`` field, ``target`` field,
     ``returns`` = DDL type of the result (default string).
     """
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        source = self.conf.get("source", "message")
+        sources = [source] if isinstance(source, str) else list(source)
+        return [self.conf.get("target", field_name(sources[0]))]
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
         fn = self.conf["code"]

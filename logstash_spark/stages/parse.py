@@ -65,6 +65,21 @@ class GrokStage(Stage):
     whole-stage-codegen JVM path, no Python at all.
     """
 
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        from ..grok import compile_grok
+
+        if self.conf.get("target"):
+            return [self.conf["target"], "tags"]
+        match: dict = self.conf["match"]
+        (_, patterns), *_rest = match.items()
+        if isinstance(patterns, str):
+            patterns = [patterns]
+        defs = self.conf.get("pattern_definitions")
+        fields: list[str] = []
+        for p in patterns:
+            fields += list(compile_grok(p, defs).fields)
+        return list(dict.fromkeys(fields)) + ["tags"]
+
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         match: dict = self.conf["match"]
         (source, patterns), *rest = match.items()
@@ -109,6 +124,12 @@ class DissectStage(Stage):
     conf: mapping {source: dissect_spec}, tag_on_failure.
     """
 
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        if self.conf.get("target"):
+            return [self.conf["target"], "tags"]
+        (_, spec), *_rest = self.conf["mapping"].items()
+        return list(compile_dissect(spec).fields) + ["tags"]
+
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         mapping: dict = self.conf["mapping"]
         (source, spec), *rest = mapping.items()
@@ -138,6 +159,9 @@ class KvStage(Stage):
     include_keys, exclude_keys, prefix, trim_key, trim_value.
     Fully native: ``str_to_map`` + ``map_filter``/``transform_keys``.
     """
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return [self.conf.get("target", "attrs")]
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         source = self.conf.get("source", "message")
@@ -186,6 +210,13 @@ class JsonStage(Stage):
     column is never destroyed).
     """
 
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        if self.conf.get("schema"):
+            tgt = self.conf.get("target") or field_name(self.conf.get("source", "message")) + "_parsed"
+        else:
+            tgt = self.conf.get("target") or "attrs"
+        return [tgt, "tags"]
+
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         source = self.conf.get("source", "message")
         schema = self.conf.get("schema")
@@ -215,6 +246,15 @@ class CsvStage(Stage):
     conf: source, columns [names] or schema DDL, separator, quote_char,
     target. Native ``F.from_csv`` 1:1.
     """
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        if self.conf.get("target"):
+            return [self.conf["target"], "tags"]
+        if "schema" in self.conf:
+            flds = [f.strip().split()[0].strip("`") for f in self.conf["schema"].split(",")]
+        else:
+            flds = list(self.conf["columns"])
+        return flds + ["tags"]
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         source = self.conf.get("source", "message")
@@ -254,6 +294,9 @@ class XmlStage(Stage):
     tag_on_failure default ``_xmlparsefailure``. Native ``F.from_xml``
     (Spark 4) — JVM-side, no Python.
     """
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return [self.conf.get("target", "xml"), "tags"]
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         source = self.conf.get("source", "message")
@@ -296,6 +339,9 @@ class DateStage(Stage):
     (Spark 4 default) and a throwing ``to_timestamp`` hard-errored the
     whole query in round 1.
     """
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return [self.conf.get("target", "event_ts"), "tags"]
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         match = self.conf["match"]

@@ -80,6 +80,7 @@ def run_streaming(
             )
         finally:
             routed.unpersist()
+            pipe.release_branch_caches()
         rec = {
             "batch_id": batch_id,
             "events": {

@@ -162,3 +162,27 @@ def test_minhash_hot_bucket_skew(spark):
     # one survivor (min id) from the identical cluster + all uniques
     assert kept[0] == 0
     assert len(kept) == 1 + 50
+
+
+def test_ann_indexed_partition_pruning(spark, sf_dir, tmp_path):
+    """write_ann_index partitions by LSH bucket; the probe predicate
+    must appear as PartitionFilters (pruned at file listing) and return
+    the same rows as the computed-column variant."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ann_index")
+    similarity.write_ann_index(emb, path, n_planes=8, dim=64)
+
+    qvec = [(1.0, 0.5, -0.25)[i % 3] for i in range(64)]
+    indexed = similarity.ann_lsh_topk_indexed(
+        spark, path, qvec, k=10, n_planes=8, multiprobe=2
+    )
+    plain = similarity.ann_lsh_topk(emb, qvec, k=10, n_planes=8, multiprobe=2)
+    assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in plain.collect()]
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the filter is real (non-empty bucket pruning), not PartitionFilters: []
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "bucket" in m.group(1)

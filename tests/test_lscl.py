@@ -95,3 +95,92 @@ def test_cli_end_to_end(tmp_path):
     assert outs["big_events"] == 4
     assert outs["rest"] == 6
     assert (run_dir / "metrics.json").exists()
+
+
+def test_conditional_stage_single_subtree_execution(spark):
+    """Round-1 finding: `if cond { filter }` used to lower to
+    filter(cond) → stage → union filter(~cond), running the upstream —
+    including every pandas-UDF hop — TWICE. The when/otherwise merge
+    lowering must run the upstream exactly once per row."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.pipeline import Pipeline
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(s):
+        acc.add(len(s))
+        return s.str.upper()
+
+    n = 500
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"m{i}") for i in range(n)],
+        "id int, lang string, message string",
+    )
+    spec = {
+        "id": "cond_exec",
+        "filters": [
+            # upstream pandas-UDF stage (the expensive subtree)
+            {"ruby": {"code": count_rows, "source": "message", "target": "upper"}},
+            # conditional row-preserving stage → when/otherwise merge
+            {"when": "[lang] == 'en'", "mutate": {"replace": {"upper": "EN-ONLY"}}},
+            {"when": "[lang] == 'en'",
+             "grok": {"match": {"message": "m%{INT:mid}"}}},
+        ],
+        "outputs": [],
+    }
+    out = Pipeline(spec).compile(df)
+    rows = {r.id: r for r in out.collect()}
+    # semantics: merge respects the condition
+    assert rows[1].upper == "EN-ONLY" and rows[2].upper == "M2"
+    assert rows[1].mid == "1" and rows[2].mid is None
+    assert len(rows) == n
+    # the UDF saw each row exactly once (2x would mean double execution)
+    assert acc.value == n, acc.value
+
+
+def test_conditional_exploding_stage_fallback(spark):
+    """Cardinality-changing stages under a conditional keep branch
+    lowering (persist + filter/union) — semantics over speed."""
+    from logstash_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b"), (2, "de", "c d")], "id int, lang string, message string"
+    )
+    spec = {
+        "id": "cond_split",
+        "filters": [
+            {"when": "[lang] == 'en'",
+             "split": {"field": "message", "terminator": " ", "target": "word"}},
+        ],
+        "outputs": [],
+    }
+    pipe = Pipeline(spec)
+    out = pipe.compile(df)
+    rows = sorted((r.id, r.word) for r in out.collect())
+    pipe.release_branch_caches()
+    assert rows == [(1, "a"), (1, "b"), (2, None)]
+
+
+def test_csv_sink_flattens_complex_columns(spark, tmp_path):
+    """An LSCL `csv { }` output must not die on the tags array / enrich
+    structs Spark's CSV writer rejects — complex columns auto-flatten
+    (string arrays join, others to_json)."""
+    from logstash_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "id=7 k=v"), (2, "garbage")], "id int, message string"
+    )
+    spec = {
+        "id": "csv_sink",
+        "filters": [
+            {"grok": {"match": {"message": "id=%{INT:gid}"}}},
+            {"kv": {"source": "message"}},
+        ],
+        "outputs": [{"name": "out_csv", "format": "csv"}],
+    }
+    run_dir = str(tmp_path / "run")
+    metrics = Pipeline(spec).run(df, run_dir, bucket_on="id", n_buckets=2)
+    assert metrics.sinks["out_csv"] == 2
+    lines = spark.read.csv(f"{run_dir}/out_csv").collect()
+    assert len(lines) == 2  # readable CSV, no AnalysisException
