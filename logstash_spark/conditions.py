@@ -246,6 +246,10 @@ class ConditionParser:
         raise ValueError("unsupported 'in' right operand")
 
 
+# Bounded LRU keyed by (expr, schema): long-lived sessions with
+# evolving schemas would otherwise grow this without limit (round-1
+# finding). 1024 entries ≈ hundreds of distinct pipeline configs.
+_CACHE_MAX = 1024
 _CACHE: dict[tuple[str, str | None], Column] = {}
 
 
@@ -253,6 +257,10 @@ def compile_condition(expr: str, df: DataFrame | None = None) -> Column:
     """Condition string → Column predicate (cached by expression text,
     mirroring EventCondition.Compiler's CACHE)."""
     key = (expr, str(df.schema) if df is not None else None)
-    if key not in _CACHE:
-        _CACHE[key] = ConditionParser(_tokenize(expr), df).parse()
-    return _CACHE[key]
+    hit = _CACHE.pop(key, None)  # pop+reinsert = LRU order (dicts are ordered)
+    if hit is None:
+        hit = ConditionParser(_tokenize(expr), df).parse()
+        if len(_CACHE) >= _CACHE_MAX:
+            _CACHE.pop(next(iter(_CACHE)))
+    _CACHE[key] = hit
+    return hit

@@ -43,6 +43,21 @@ def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Heavy per-row projections (the 64-hash minhash signature, simhash
+    votes) must not inherit a tiny input split count: a 100 TB table
+    arrives in thousands of splits, but a small single-file table would
+    serialize the whole projection on one core (measured 3x on the
+    bench corpus). Round-robin repartition up to the session's
+    parallelism when under-partitioned; row-wise deterministic
+    expressions are partition-invariant, so results are unchanged."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ------------------------------------------------------------- shingles
 def word_shingles(col, k: int = 3):
     """k-word shingles, fully native: split → sliding slices."""
@@ -88,6 +103,7 @@ def _minhash_base(
     xxhash64-per-shingle signature is the expensive projection — it must
     run once, not once for candidates and again for verify."""
     sh = word_shingles(F.col(text_col), shingle_k)
+    df = _spread(df)
     return df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("hs"),
@@ -253,6 +269,7 @@ def simhash_column(df: DataFrame, text_col: str = "text", out_col: str = "simhas
     """64-bit SimHash. Token hashes are computed natively
     (xxhash64 per token); only the 64-bit majority vote runs in numpy
     over Arrow batches (ragged bit unpack has no Column expression)."""
+    df = _spread(df)
     token_hashes = F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: F.xxhash64(w))
 
     @F.pandas_udf("long")
@@ -337,7 +354,7 @@ def ngram_jaccard_pairs(
     """All pairs ≥ threshold via inverted-index blocking: explode
     shingles → equi-join on shingle → distinct candidate pairs → exact
     Jaccard. Never a cross-join; the join key is the shingle itself."""
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
     )
     inv = sh.select("id", F.explode("sh").alias("shingle"))

@@ -125,6 +125,9 @@ def rolling_fingerprint(col: Column) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    from .dedup import _spread
+
+    df = _spread(df)  # CPU-heavy projection — don't serialize on a tiny split count
     c = F.col(text_col)
     return df.withColumns(
         {

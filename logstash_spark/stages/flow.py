@@ -147,6 +147,13 @@ class MultilineStage(Stage):
     boundary flags over a window; lines merge via ordered
     ``collect_list`` + ``array_join`` (order pinned by sorting the
     collected structs — shuffle-order independent).
+
+    max_lines (default 500, multiline.rb): a merge group is flushed at
+    the cap; overflow lines start a new group and the capped event is
+    tagged ``multiline_codec_max_lines_reached``. auto_flush_interval
+    (+ timestamp_field): a gap larger than the interval between
+    consecutive lines is a flush boundary — the batch re-expression of
+    the reference's wall-clock flush timer.
     """
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
@@ -156,6 +163,7 @@ class MultilineStage(Stage):
         source = self.conf.get("source", "message")
         group_by = self.conf["group_by"]
         order_by = self.conf["order_by"]
+        max_lines = int(self.conf.get("max_lines", 500))
 
         flag = field_col(source).rlike(pattern)
         if negate:
@@ -168,7 +176,24 @@ class MultilineStage(Stage):
             # line matching glues to NEXT → boundary after a non-matching line
             prev = F.lag(flag, 1, False).over(w)
             boundary = (~prev).cast("int")
+        flush_interval = self.conf.get("auto_flush_interval")
+        if flush_interval is not None:
+            ts = F.col(self.conf.get("timestamp_field", "event_ts"))
+            gap = ts.cast("double") - F.lag(ts, 1).over(w).cast("double")
+            boundary = F.greatest(
+                boundary, (gap > float(flush_interval)).cast("int")
+            )
         df = df.withColumn("__grp", F.sum(boundary).over(w))
+        # flush-at-cap: line max_lines+1 of a group starts a new subgroup
+        w2 = Window.partitionBy(group_by, "__grp").orderBy(order_by)
+        df = df.withColumn(
+            "__grp",
+            F.concat_ws(
+                ".",
+                F.col("__grp").cast("string"),
+                F.floor((F.row_number().over(w2) - 1) / max_lines).cast("string"),
+            ),
+        )
         merged = (
             df.groupBy(group_by, "__grp")
             .agg(
@@ -187,6 +212,10 @@ class MultilineStage(Stage):
         )
         tag_multi = self.conf.get("multiline_tag", "multiline")
         merged = add_tags(merged, [tag_multi], F.col("n_lines") > 1)
+        merged = add_tags(
+            merged, ["multiline_codec_max_lines_reached"],
+            F.col("n_lines") >= max_lines,
+        )
         return merged, None
 
 

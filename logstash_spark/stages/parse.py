@@ -156,8 +156,14 @@ class KvStage(Stage):
     conf: source (default message), field_split (char set, default " "),
     value_split (char set, default "="), target (default: merge into the
     ``attrs`` overflow map — SURVEY §1.2's schemaless residue column),
-    include_keys, exclude_keys, prefix, trim_key, trim_value.
-    Fully native: ``str_to_map`` + ``map_filter``/``transform_keys``.
+    include_keys, exclude_keys, prefix, trim_key, trim_value,
+    include_brackets (default True: strip one layer of []/()/<> value
+    wrappers — documented deviation: kv.rb also lets bracketed values
+    contain the field separator, which a split-based parse cannot).
+    Duplicate keys keep the LAST occurrence (MapType holds one value
+    per key; kv.rb's allow_duplicate_values array-collect is a
+    documented deviation). Fully native: ``str_to_map`` +
+    ``map_filter``/``transform_keys``.
     """
 
     def _targets(self, df: DataFrame) -> list[str] | None:
@@ -175,6 +181,10 @@ class KvStage(Stage):
         m = F.str_to_map(
             field_col(source), F.lit(charset_regex(field_split)), F.lit(charset_regex(value_split))
         )
+        if self.conf.get("include_brackets", True):
+            m = F.transform_values(
+                m, lambda k, v: F.regexp_replace(v, r"^[\[\(<]|[\]\)>]$", "")
+            )
         trim_k = self.conf.get("trim_key")
         trim_v = self.conf.get("trim_value")
         if trim_k:
@@ -248,6 +258,8 @@ class CsvStage(Stage):
     """
 
     def _targets(self, df: DataFrame) -> list[str] | None:
+        if self.conf.get("autodetect_column_names"):
+            return None  # column set depends on the data → branch fallback
         if self.conf.get("target"):
             return [self.conf["target"], "tags"]
         if "schema" in self.conf:
@@ -258,7 +270,20 @@ class CsvStage(Stage):
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         source = self.conf.get("source", "message")
-        if "schema" in self.conf:
+        src0 = field_col(source)
+        if self.conf.get("autodetect_column_names"):
+            # csv.rb autodetect_column_names: the FIRST event names the
+            # columns and is consumed. Plan-time one-row action (the
+            # reference reads it from the stream the same way).
+            sep = self.conf.get("separator", ",")
+            quote = self.conf.get("quote_char", '"')
+            first = df.select(src0.alias("__h")).filter(src0.isNotNull()).first()
+            header = first["__h"] if first else ""
+            cols = [c.strip().strip(quote) for c in header.split(sep)]
+            convert = self.conf.get("convert", {})
+            ddl = ", ".join(f"`{c}` {convert.get(c, 'string')}" for c in cols)
+            df = df.filter(src0.isNull() | (src0 != F.lit(header)))
+        elif "schema" in self.conf:
             ddl = self.conf["schema"]
         else:
             cols = self.conf["columns"]

@@ -1011,7 +1011,9 @@ _TEXTSTATS_ORACLE = f"""
 @_q("textstats_quality", _TEXTSTATS_ORACLE)
 def textstats_quality(spark, sf_dir):
     """language-ID + quality scoring + token counts — all native Columns."""
-    docs = _t(spark, sf_dir, "documents")
+    from .datapipe.dedup import _spread
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
     c = F.col("text")
     return docs.select(
         "doc_id",
