@@ -246,12 +246,15 @@ def grok_output_schema(compiled: list[CompiledGrok]) -> str:
 
 
 def grok_extract_batch(
-    s: pd.Series, compiled: list[CompiledGrok], keep_empty_captures: bool = False
+    s: pd.Series, compiled: list[CompiledGrok], keep_empty_captures: bool = False,
+    break_on_match: bool = True,
 ) -> pd.DataFrame:
-    """First-match-wins extraction over a string Series → capture frame.
+    """Extraction over a string Series → capture frame.
 
-    Vectorized: each pattern runs one ``str.extract`` over only the
-    rows still unmatched (break_on_match semantics).
+    Vectorized: each pattern runs one ``str.extract``. break_on_match
+    (grok.rb default true): each row stops at its first matching
+    pattern. break_on_match=false: EVERY pattern runs on every row and
+    captures accumulate (earlier patterns win per-field coalesce).
     """
     all_fields: dict[str, str] = {}
     for cg in compiled:
@@ -265,8 +268,10 @@ def grok_extract_batch(
 
     todo = s.notna() & ~matched
     for cg in compiled:
-        if not todo.any():
+        if break_on_match and not todo.any():
             break
+        if not break_on_match:
+            todo = s.notna()
         sub = s[todo].astype("string")
         # extract: one column per regex group
         ext = sub.str.extract(cg.regex)
@@ -290,7 +295,14 @@ def grok_extract_batch(
                     if both.any():
                         vals.loc[both] = vals[both].astype(str) + " " + col[both].astype(str)
             if vals is not None:
-                out.loc[hit_idx, fname] = vals[hit].astype("object")
+                new_vals = vals[hit].astype("object")
+                if break_on_match:
+                    out.loc[hit_idx, fname] = new_vals
+                else:
+                    # accumulate: earlier patterns win per field
+                    cur = out.loc[hit_idx, fname]
+                    fill_idx = cur[cur.isna()].index
+                    out.loc[fill_idx, fname] = new_vals.loc[fill_idx]
         matched.loc[hit_idx] = True
         todo = s.notna() & ~matched
 
@@ -309,8 +321,9 @@ def grok_extract_batch(
     return out
 
 
-def struct_extract_udf(compiled: list[CompiledGrok], keep_empty_captures: bool = False):
-    """(pandas_udf, schema_ddl) applying compiled patterns first-match-wins.
+def struct_extract_udf(compiled: list[CompiledGrok], keep_empty_captures: bool = False,
+                       break_on_match: bool = True):
+    """(pandas_udf, schema_ddl) applying compiled patterns.
 
     Shared executor for grok and dissect stages.
     """
@@ -321,16 +334,16 @@ def struct_extract_udf(compiled: list[CompiledGrok], keep_empty_captures: bool =
     @pandas_udf(f"struct<{schema}>")
     def _extract(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for s in batches:
-            yield grok_extract_batch(s, compiled, keep_empty_captures)
+            yield grok_extract_batch(s, compiled, keep_empty_captures, break_on_match)
 
     return _extract, schema
 
 
 def grok_udf(patterns: list[str], extra_patterns: dict[str, str] | None = None,
-             keep_empty_captures: bool = False):
+             keep_empty_captures: bool = False, break_on_match: bool = True):
     """Build (pandas_udf, output_schema_ddl) for a grok match spec."""
     compiled = [compile_grok(p, extra_patterns) for p in patterns]
-    return struct_extract_udf(compiled, keep_empty_captures)
+    return struct_extract_udf(compiled, keep_empty_captures, break_on_match)
 
 
 def lower_single_capture(pattern: str) -> tuple[str, str] | None:

@@ -238,6 +238,17 @@ def _conditional_merge(df: DataFrame, stage, cond, targets: list[str]) -> DataFr
             backups[c] = f"__orig_{c}"
             pre = pre.withColumn(backups[c], F.col(c))
     out = stage.apply(pre)
+    # safety net: a stage whose _targets() under-declares would silently
+    # apply its effects to non-matching rows — fail loudly instead.
+    undeclared = [
+        c for c in out.columns
+        if c not in pre.columns and c not in targets
+    ]
+    if undeclared:
+        raise RuntimeError(
+            f"stage {stage.id!r} wrote undeclared columns {undeclared} under a "
+            f"conditional; fix its _targets() declaration"
+        )
     for c in targets:
         if c in backups:
             out = out.withColumn(

@@ -23,8 +23,8 @@ class DropStage(Stage):
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
         pct = float(self.conf.get("percentage", 100))
+        cond = self.conf.get("when")
         if pct >= 100:
-            cond = self.conf.get("when")
             if cond is not None:
                 from ..conditions import compile_condition
 
@@ -35,7 +35,13 @@ class DropStage(Stage):
             u = (F.pmod(F.xxhash64(field_col(key)), F.lit(10000)) / 10000.0)
         else:
             u = F.rand(seed=int(self.conf.get("seed", 42)))
-        return df.filter(u >= pct / 100.0), None
+        sampled_out = u < pct / 100.0
+        if cond is not None:
+            # drop.rb: sampling applies only to rows the condition matches
+            from ..conditions import compile_condition
+
+            sampled_out = sampled_out & F.coalesce(compile_condition(cond, df), F.lit(False))
+        return df.filter(~sampled_out), None
 
 
 @register("clone")

@@ -401,6 +401,79 @@ class UuidStage(Stage):
         return df.withColumn(target, uuid), None
 
 
+@register("extractnumbers")
+class ExtractNumbersStage(Stage):
+    """logstash-filter-extractnumbers: pull every number out of a string
+    field. Deviation (documented): the reference creates dynamic
+    ``int0``/``float1``… fields per event; a schema-first engine puts
+    them in ONE ``array<double>`` column (+ ``ints``/``floats`` splits
+    available via array ops). Fully native regexp_extract_all."""
+
+    _NUM_RE = r"[+-]?\d+(?:\.\d+)?"
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return [self.conf.get("target", "extracted_numbers")]
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        source = self.conf.get("source", "message")
+        target = self.conf.get("target", "extracted_numbers")
+        nums = F.transform(
+            F.regexp_extract_all(field_col(source), F.lit(self._NUM_RE), F.lit(0)),
+            lambda s: s.try_cast("double"),
+        )
+        df = df.withColumn(target, nums)
+        return df, F.size(F.col(target)) > 0
+
+
+@register("range")
+class RangeStage(Stage):
+    """logstash-filter-range: check numeric values / string lengths
+    against [min, max]; matched rows get the common options
+    (add_tag/add_field) or are dropped. conf: ranges = list of
+    [field, min, max] triples (numeric fields compare by value, string
+    fields by length — range.rb semantics), negate, action
+    ("tag" default — common options fire on match; "drop" removes
+    matching rows)."""
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        if self.conf.get("action", "tag") == "drop":
+            return None  # cardinality-changing
+        return []
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        ranges: list = self.conf["ranges"]
+        negate = bool(self.conf.get("negate", False))
+        cond = F.lit(False)
+        for ref, lo, hi in ranges:
+            col = field_col(ref)
+            dt = dict(df.dtypes).get(field_name(ref), "")
+            probe = F.length(col) if dt == "string" else col
+            cond = cond | ((probe >= F.lit(lo)) & (probe <= F.lit(hi)))
+        if negate:
+            cond = ~cond
+        if self.conf.get("action", "tag") == "drop":
+            return df.filter(~F.coalesce(cond, F.lit(False))), None
+        return df.withColumn("__matched", cond), F.col("__matched")
+
+
+@register("environment")
+class EnvironmentStage(Stage):
+    """logstash-filter-environment: expose environment variables as
+    fields. Resolved at PLAN time into literal columns (the reference
+    reads the env once at filter init too). conf:
+    add_field_from_env = {field: ENV_VAR_NAME}."""
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return [field_name(r) for r in self.conf.get("add_field_from_env", {})]
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        import os
+
+        for ref, var in self.conf.get("add_field_from_env", {}).items():
+            df = df.withColumn(field_name(ref), F.lit(os.environ.get(var)))
+        return df, None
+
+
 @register("ruby")
 class RubyStage(Stage):
     """logstash-filter-ruby — the escape-hatch UDF.

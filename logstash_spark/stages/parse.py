@@ -59,8 +59,9 @@ class GrokStage(Stage):
     """logstash-filter-grok:lib/logstash/filters/grok.rb.
 
     conf: match {source: pattern | [patterns]}, pattern_definitions,
-    target, overwrite, tag_on_failure, keep_empty_captures.
-    First-match-wins across the pattern list (break_on_match).
+    target, overwrite, tag_on_failure, keep_empty_captures,
+    break_on_match (default true = first-match-wins across the pattern
+    list; false = every pattern runs, captures accumulate).
     Single-capture patterns lower to native ``F.regexp_extract`` —
     whole-stage-codegen JVM path, no Python at all.
     """
@@ -109,7 +110,8 @@ class GrokStage(Stage):
             df, _ = _struct_apply(
                 df,
                 source,
-                grok_udf(patterns, defs, self.conf.get("keep_empty_captures", False)),
+                grok_udf(patterns, defs, self.conf.get("keep_empty_captures", False),
+                         self.conf.get("break_on_match", True)),
                 target,
                 overwrite,
             )

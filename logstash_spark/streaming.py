@@ -107,6 +107,26 @@ def run_streaming(
     return query
 
 
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "60 seconds",
+    watermark: str = "120 seconds",
+) -> DataFrame:
+    """Event-time windowed counts with a watermark — the extension hook
+    SURVEY §2.6 names: Logstash itself is processing-time only (late
+    data is indistinguishable), so this is engine capability BEYOND the
+    reference, not parity. Late rows beyond the watermark are dropped
+    and closed windows emit finally (append mode semantics)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(F.col("w.start").alias("window_start"), key_col, "count")
+    )
+
+
 def aggregate_stream(
     stream: DataFrame,
     task_id: str,

@@ -1255,6 +1255,57 @@ def checkpoint_resume(spark, sf_dir):
 
 
 @_q(
+    "streaming_route_counts",
+    """
+    SELECT 'sink_hot' AS sink, count(*) AS n FROM events WHERE value > 300
+    UNION ALL
+    SELECT 'sink_cold' AS sink, count(*) AS n FROM events WHERE NOT (value > 300)
+    """,
+)
+def streaming_route_counts(spark, sf_dir):
+    """Structured-Streaming execution path end-to-end: the same compiled
+    pipeline run via foreachBatch over a file stream in TWO micro-batches
+    (maxFilesPerTrigger=1), sinks appended per batch — then the parquet
+    actually on disk is counted against the branch-predicate oracle."""
+    import shutil
+
+    from .pipeline import Pipeline
+    from .streaming import run_streaming, stream_from_directory
+
+    tag = abs(hash(sf_dir)) % 10**8
+    src = f"/tmp/suite_stream_src_{tag}"
+    run_dir = f"/tmp/suite_stream_run_{tag}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events")
+    ev.coalesce(2).write.parquet(src)
+    spec = {
+        "id": "stream_suite",
+        "filters": [],
+        "outputs": [
+            {"name": "sink_hot", "when": "[value] > 300"},
+            {"name": "sink_cold", "when": "!([value] > 300)"},
+        ],
+    }
+    pipe = Pipeline(spec)
+    stream = stream_from_directory(
+        spark, src,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+        max_files_per_trigger=1,
+    )
+    run_streaming(pipe, stream, run_dir, bucket_on="event_id", n_buckets=4,
+                  timeout_sec=600)
+    parts = [
+        spark.read.parquet(f"{run_dir}/{name}")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(name).alias("sink"), "n")
+        for name in ("sink_hot", "sink_cold")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+@_q(
     "grok_syslogline",
     """
     SELECT event_id,
@@ -1369,6 +1420,66 @@ def fingerprint_hmac(spark, sf_dir):
                              "key": "s3cr3t", "target": "fp"}}
     )
     return out.select("event_id", "fp")
+
+
+@_q(
+    "extractnumbers_scalars",
+    r"""
+    WITH m AS (
+      SELECT event_id,
+             'x' || CAST(user_id AS VARCHAR) || ' y' || CAST(event_id AS VARCHAR)
+                 || ' z-42 w3.25' AS msg
+      FROM events
+    ), ex AS (
+      SELECT event_id,
+             list_transform(regexp_extract_all(msg, '[+-]?\d+(?:\.\d+)?'),
+                            s -> CAST(s AS DOUBLE)) AS nums
+      FROM m
+    )
+    SELECT event_id,
+           CAST(len(nums) AS INT) AS n_numbers,
+           nums[1] AS first_number,
+           nums[len(nums)] AS last_number
+    FROM ex
+    """,
+)
+def extractnumbers_scalars(spark, sf_dir):
+    """extractnumbers filter: every number in the string → array<double>
+    (scalars selected here for exact cross-engine comparison)."""
+    ev = _events_msg(
+        spark, sf_dir,
+        F.concat(F.lit("x"), F.col("user_id").cast("string"),
+                 F.lit(" y"), F.col("event_id").cast("string"),
+                 F.lit(" z-42 w3.25")),
+    )
+    out = apply_stage(ev, {"extractnumbers": {"source": "message"}})
+    nums = F.col("extracted_numbers")
+    return out.select(
+        "event_id",
+        F.size(nums).alias("n_numbers"),
+        F.get(nums, 0).alias("first_number"),
+        F.get(nums, F.size(nums) - 1).alias("last_number"),
+    )
+
+
+@_q(
+    "range_check",
+    """
+    SELECT event_id,
+           value BETWEEN 100 AND 400 AS in_val_range,
+           length(event_type) BETWEEN 1 AND 5 AS len_in_range
+    FROM events
+    """,
+)
+def range_check(spark, sf_dir):
+    """range filter: numeric value ranges + string-length ranges."""
+    ev = _t(spark, sf_dir, "events")
+    out1, _ = build_stage({"range": {"ranges": [["value", 100, 400]]}}).transform(ev)
+    out1 = out1.withColumnRenamed("__matched", "in_val_range")
+    out2, _ = build_stage({"range": {"ranges": [["event_type", 1, 5]]}}).transform(out1)
+    return out2.select(
+        "event_id", "in_val_range", F.col("__matched").alias("len_in_range")
+    )
 
 
 @_q(

@@ -166,3 +166,24 @@ def test_aggregate_push_map_as_event(spark):
     flushed = {r.task_id: r.n for r in out if r.is_timeout_event}
     assert len(originals) == 3 and all(r.n is None for r in originals)
     assert flushed == {"t1": 2, "t2": 1}
+
+
+def test_drop_percentage_with_condition(spark):
+    """drop.rb: percentage sampling applies only to condition-matching
+    rows; everything else passes untouched."""
+    rows = [(i, "en" if i % 2 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, lang string")
+    out = apply_stage(
+        df, {"drop": {"when": "[lang] == 'de'", "percentage": 50,
+                      "deterministic_on": "id"}}
+    ).collect()
+    en = [r for r in out if r.lang == "en"]
+    de = [r for r in out if r.lang == "de"]
+    assert len(en) == 100          # never sampled
+    assert 20 <= len(de) <= 80     # ~half the de rows dropped
+    # deterministic: rerun drops the same rows
+    again = apply_stage(
+        df, {"drop": {"when": "[lang] == 'de'", "percentage": 50,
+                      "deterministic_on": "id"}}
+    ).collect()
+    assert sorted(r.id for r in again) == sorted(r.id for r in out)

@@ -180,3 +180,44 @@ def test_truncate_utf8_boundary(spark):
         out = apply_stage(df, {"truncate": {"length_bytes": n}}).collect()[0]
         assert out.message == expected, (n, out.message, expected)
         assert len(out.message.encode()) <= n
+
+
+def test_extractnumbers(spark):
+    df = spark.createDataFrame(
+        [(1, "took 42 ms, -3.5 retries, 0.25 ratio"), (2, "no digits here"), (3, None)],
+        "id int, message string",
+    )
+    out = {r.id: r.extracted_numbers for r in
+           apply_stage(df, {"extractnumbers": {}}).collect()}
+    assert out[1] == [42.0, -3.5, 0.25]
+    assert out[2] == []
+    assert out[3] is None
+
+
+def test_range_filter(spark):
+    df = spark.createDataFrame(
+        [(1, 50.0, "ok"), (2, 500.0, "toolongvalue"), (3, None, "x")],
+        "id int, value double, name string",
+    )
+    out, m = __import__("logstash_spark.stages.base", fromlist=["build_stage"]).build_stage(
+        {"range": {"ranges": [["value", 0, 100], ["name", 10, 99]]}}
+    ).transform(df)
+    got = {r["id"]: r["__matched"] for r in out.select("id", "__matched").collect()}
+    assert got[1] is True          # value in [0,100]
+    assert got[2] is True          # name length 12 in [10,99]
+    assert got[3] in (False, None)  # null value, short name
+    # drop action removes matching rows
+    dropped = apply_stage(
+        df, {"range": {"ranges": [["value", 0, 100]], "action": "drop"}}
+    )
+    assert sorted(r.id for r in dropped.collect()) == [2, 3]
+
+
+def test_environment_stage(spark, monkeypatch):
+    monkeypatch.setenv("LS_SPARK_TEST_ENV", "prod-7")
+    df = spark.createDataFrame([(1,)], "id int")
+    out = apply_stage(
+        df, {"environment": {"add_field_from_env": {"deployment": "LS_SPARK_TEST_ENV",
+                                                    "missing": "LS_SPARK_NOPE"}}}
+    ).collect()[0]
+    assert out.deployment == "prod-7" and out.missing is None

@@ -189,3 +189,27 @@ def test_date_stage_multi_format(spark):
     assert rows[2].event_ts == expect
     assert rows[3].event_ts is not None
     assert rows[4].event_ts is None and "_dateparsefailure" in rows[4].tags
+
+
+def test_grok_break_on_match_false_accumulates():
+    """break_on_match=false (grok.rb): every pattern runs; captures
+    accumulate with earlier patterns winning per field. Pure-pandas
+    path — no Spark needed."""
+    import pandas as pd
+
+    from logstash_spark.grok import compile_grok, grok_extract_batch
+
+    compiled = [
+        compile_grok("id=%{INT:gid}"),
+        compile_grok("user=%{WORD:guser}"),
+    ]
+    s = pd.Series(["id=42 user=bob", "user=eve only", "nothing"])
+    # default: first match wins, second pattern only sees unmatched rows
+    first = grok_extract_batch(s, compiled)
+    assert first.loc[0, "gid"] == "42" and first.loc[0, "guser"] is None
+    assert first.loc[1, "guser"] == "eve"
+    # accumulate mode: both patterns extract on row 0
+    both = grok_extract_batch(s, compiled, break_on_match=False)
+    assert both.loc[0, "gid"] == "42" and both.loc[0, "guser"] == "bob"
+    assert both.loc[1, "guser"] == "eve"
+    assert not both.loc[2, "_matched"]

@@ -144,3 +144,41 @@ def test_aggregate_stream_timeout(spark, tmp_path):
         assert got.get("k2") == (1, 7), got
     finally:
         q.stop()
+
+
+def test_windowed_counts_watermark(spark, tmp_path):
+    """Event-time windows + watermark (beyond-reference extension):
+    closed windows emit in append mode after the watermark passes."""
+    import datetime
+
+    from logstash_spark.streaming import windowed_counts
+
+    src = str(tmp_path / "wsrc")
+    ckpt = str(tmp_path / "wckpt")
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows1 = [(t0 + datetime.timedelta(seconds=s), "k") for s in (0, 10, 70)]
+    spark.createDataFrame(rows1, "ts timestamp, k string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    sink = str(tmp_path / "wsink")
+    stream = stream_from_directory(spark, src, "ts timestamp, k string")
+    out = windowed_counts(stream, "ts", "k", window="60 seconds", watermark="60 seconds")
+    q = (out.writeStream.format("parquet").outputMode("append")
+         .option("path", sink)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # advance event time far enough to close the first windows
+    rows2 = [(t0 + datetime.timedelta(seconds=400), "k")]
+    spark.createDataFrame(rows2, "ts timestamp, k string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream2 = stream_from_directory(spark, src, "ts timestamp, k string")
+    out2 = windowed_counts(stream2, "ts", "k", window="60 seconds", watermark="60 seconds")
+    q2 = (out2.writeStream.format("parquet").outputMode("append")
+          .option("path", sink)
+          .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got = {r.window_start.second + 60 * r.window_start.minute: r["count"]
+           for r in spark.read.parquet(sink).collect()}
+    # watermark passed 0s and 60s windows -> both closed and emitted;
+    # the 360s window is still open (no later event) -> absent
+    assert got.get(0) == 2 and got.get(60) == 1
+    assert 360 not in got
