@@ -49,13 +49,16 @@ def stage_inputs(spark):
     pages_path = f"{STAGE_DIR}/pages_{N_PAGES}"
     fat_path = f"{STAGE_DIR}/pages_{N_FAT}_ps40"
     logs_path = f"{STAGE_DIR}/logs_{N_LOGS}"
+    warm_path = f"{STAGE_DIR}/pages_warm_2000"
     if not os.path.exists(pages_path + "/_SUCCESS"):
         gen_pages(spark, N_PAGES).write.mode("overwrite").parquet(pages_path)
     if not os.path.exists(fat_path + "/_SUCCESS"):
         gen_pages(spark, N_FAT, para_scale=40).write.mode("overwrite").parquet(fat_path)
     if not os.path.exists(logs_path + "/_SUCCESS"):
         gen_access_logs(spark, N_LOGS).write.mode("overwrite").parquet(logs_path)
-    return pages_path, fat_path, logs_path
+    if not os.path.exists(warm_path + "/_SUCCESS"):
+        gen_pages(spark, 2000).write.mode("overwrite").parquet(warm_path)
+    return pages_path, fat_path, logs_path, warm_path
 
 
 def bench_flagship(spark, pages_path, n_expected, run_dir):
@@ -111,7 +114,12 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    pages_path, fat_path, logs_path = stage_inputs(spark)
+    pages_path, fat_path, logs_path, warm_path = stage_inputs(spark)
+
+    # untimed warmup (same methodology as scale_bench): a cluster job
+    # amortizes JIT/codegen/python-worker startup over hours — the first
+    # timed query must not be charged ~10 s of one-off JVM warmup
+    bench_flagship(spark, warm_path, 2000, f"{STAGE_DIR}/warm_run")
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}

@@ -149,3 +149,33 @@ def test_condition_compare_matches_python(spark, a, b):
                    (">", a > b), ("<=", a <= b), (">=", a >= b)):
         got = df.select(compile_condition(f"[x] {op} {b}", df).alias("r")).collect()[0]["r"]
         assert bool(got) == py, (op, a, b)
+
+
+# ------------------------------------------------------------- truncate
+
+@given(st.lists(
+    st.text(alphabet=st.characters(codec="utf-8"), min_size=0, max_size=12),
+    min_size=1, max_size=6,
+), st.integers(min_value=1, max_value=16))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_truncate_utf8_prefix_property(spark, texts, n):
+    """For arbitrary unicode: the truncated value is the LONGEST valid
+    UTF-8 prefix of <= n bytes ending on a char boundary (or the whole
+    string when it fits) — never a decode error, any session config."""
+    from logstash_spark.stages.base import apply_stage
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, message string")
+    out = {r["id"]: r["message"] for r in
+           apply_stage(df, {"truncate": {"length_bytes": n}}).collect()}
+    for i, t in rows:
+        b = t.encode("utf-8")
+        if len(b) <= n:
+            expected = t
+        else:
+            cut = n
+            while cut > 0 and (b[cut] & 0xC0) == 0x80:
+                cut -= 1
+            expected = b[:cut].decode("utf-8")
+        assert out[i] == expected, (t, n, out[i], expected)
