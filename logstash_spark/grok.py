@@ -363,3 +363,34 @@ def lower_single_capture(pattern: str) -> tuple[str, str] | None:
     if "(?P<" in java_pat or "(?<!" in java_pat or "(?!" in java_pat:
         return None  # lookarounds are fine in Java but keep it conservative
     return java_pat, fname
+
+
+def lower_multi_capture(
+    pattern: str, extra_patterns: dict[str, str] | None = None
+) -> tuple[str, list[tuple[str, int, str]]] | None:
+    """General native lowering: one grok pattern → a Java regex plus
+    [(field, group_index, type)] so the stage can evaluate it as k
+    ``F.regexp_extract`` calls + one ``rlike`` — all whole-stage-codegen
+    JVM (measured ~2× a single vectorized-Python pass at 12 captures in
+    steady state, and far cheaper cold: no Python workers, no Arrow).
+
+    Returns None (→ the pandas path) when any field aggregates several
+    groups (same-name alternation needs coalesce-with-append semantics)
+    or the expansion carries syntax Java's regex dialect lacks. Dialect
+    caveat (same stance as lower_single_capture, documented SURVEY §7):
+    java.util.regex and Python ``re`` agree on this library's constructs
+    for ASCII input; \\w/\\b differ on non-ASCII letters.
+    """
+    cg = compile_grok(pattern, extra_patterns)
+    if not cg.fields:
+        return None
+    plan: list[tuple[str, int, str]] = []
+    java_pat = cg.regex.pattern
+    for fname, (groups, typ) in cg.fields.items():
+        if len(groups) != 1:
+            return None
+        plan.append((fname, cg.regex.groupindex[groups[0]], typ))
+        java_pat = java_pat.replace(f"(?P<{groups[0]}>", "(")
+    if "(?P" in java_pat:  # leftover Python-only named syntax/backrefs
+        return None
+    return java_pat, plan

@@ -17,7 +17,7 @@ from ..grok import (
     GROK_FAILURE_TAG,
     grok_output_schema,
     grok_udf,
-    lower_single_capture,
+    lower_multi_capture,
 )
 from .base import Stage, add_tags, register
 
@@ -93,19 +93,28 @@ class GrokStage(Stage):
         overwrite = self.conf.get("overwrite", [])
         tags = self.conf.get("tag_on_failure", [GROK_FAILURE_TAG])
 
-        lowered = lower_single_capture(patterns[0]) if (
-            len(patterns) == 1 and not target and not defs
+        lowered = lower_multi_capture(patterns[0], defs) if (
+            len(patterns) == 1
+            and not target
+            and not self.conf.get("keep_empty_captures", False)
         ) else None
         if lowered is not None:
-            java_pat, fld = lowered
+            # native lowering: one rlike + k regexp_extract, all JVM
+            # codegen (measured ~2x the vectorized-Python pass even at
+            # 12 captures; no Python workers at all)
+            java_pat, plan = lowered
             src = field_col(source)
-            extracted = F.regexp_extract(src, java_pat, 1)
-            matched = src.isNotNull() & (extracted != F.lit(""))
-            df = df.withColumn(_MATCHED, matched)
-            new = F.when(F.col(_MATCHED), extracted)
-            if fld in df.columns and fld not in overwrite:
-                new = F.coalesce(F.col(fld), new)
-            df = df.withColumn(fld, new)
+            df = df.withColumn(_MATCHED, src.isNotNull() & src.rlike(java_pat))
+            for fld, gidx, typ in plan:
+                extracted = F.regexp_extract(src, java_pat, gidx)
+                val = F.when(F.col(_MATCHED) & (extracted != F.lit("")), extracted)
+                if typ == "int":
+                    val = val.try_cast("long")
+                elif typ == "float":
+                    val = val.try_cast("double")
+                if fld in df.columns and fld not in overwrite:
+                    val = F.coalesce(F.col(fld), val)
+                df = df.withColumn(fld, val)
         else:
             df, _ = _struct_apply(
                 df,

@@ -80,12 +80,20 @@ def _events_msg(spark, sf_dir, expr) -> DataFrame:
     """,
 )
 def grok_multi_capture(spark, sf_dir):
-    """grok with 2 named captures → vectorized str.extract pandas-UDF path."""
+    """grok with a PATTERN LIST (first-match-wins) → the vectorized
+    str.extract pandas-UDF path (single patterns lower to native JVM
+    regexp_extract; the list keeps this query on the Python executor)."""
     ev = _events_msg(
         spark, sf_dir,
         F.concat(F.col("event_type"), F.lit(" id="), F.col("user_id").cast("string")),
     )
-    out = apply_stage(ev, {"grok": {"match": {"message": "%{WORD:etype} id=%{INT:uid}"}}})
+    out = apply_stage(
+        ev,
+        {"grok": {"match": {"message": [
+            "%{WORD:etype} id=%{INT:uid} extra=%{INT:xtra}",  # never matches
+            "%{WORD:etype} id=%{INT:uid}",
+        ]}}},
+    )
     return out.select("event_id", "etype", "uid")
 
 
