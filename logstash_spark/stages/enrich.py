@@ -248,11 +248,24 @@ class UseragentStage(Stage):
     """logstash-filter-useragent (uap-java regex db in the reference).
 
     conf: source, target (default "ua"), rules_df with
-    (pattern, name, os, device, priority). First match in priority
-    order wins — exactly the uap-core matching contract. The rule set
-    ships as a broadcast variable; matching is vectorized
-    ``str.contains`` per rule over only still-unmatched rows.
+    (pattern, name, os, device, priority), strategy. First match in
+    priority order wins — exactly the uap-core matching contract. Two
+    physical strategies:
+
+    * "native" — a priority-ordered when/rlike chain building the
+      struct, fully whole-stage codegen (no Python hop at all). The
+      right plan for curated rule sets up to NATIVE_THRESHOLD rules;
+      Java-regex dialect (documented, same stance as the grok
+      lowering).
+    * "pandas" — the rule set ships as a broadcast variable; matching
+      is vectorized ``str.contains`` per rule over only still-unmatched
+      rows. The path for uap-core-scale rule sets (thousands of
+      regexes: a thousand-branch codegen'd when-chain would blow the
+      JIT method budget, and early-exit over unmatched rows pays off).
+    * "auto" (default): native iff the rule count ≤ NATIVE_THRESHOLD.
     """
+
+    NATIVE_THRESHOLD = 64
 
     def _targets(self, df: DataFrame) -> list[str] | None:
         return [self.conf.get("target", "ua")]
@@ -261,10 +274,31 @@ class UseragentStage(Stage):
         source = self.conf["source"]
         target = self.conf.get("target", "ua")
         rules_df: DataFrame = self.conf["rules_df"]
+        strategy = self.conf.get("strategy", "auto")
         rules = [
             (r["pattern"], r["name"], r["os"], r["device"])
             for r in rules_df.orderBy("priority").collect()
         ]
+        if strategy == "auto":
+            strategy = "native" if len(rules) <= self.NATIVE_THRESHOLD else "pandas"
+        src = field_col(source)
+
+        if strategy == "native":
+            chain = None
+            for pat, name, os_, dev in rules:
+                hit = src.rlike(pat)
+                val = F.struct(
+                    F.lit(name).alias("name"), F.lit(os_).alias("os"),
+                    F.lit(dev).alias("device"),
+                )
+                chain = F.when(hit, val) if chain is None else chain.when(hit, val)
+            ua = chain if chain is not None else F.lit(None).cast(
+                "struct<name:string,os:string,device:string>"
+            )
+            df = df.withColumn(target, ua)
+            matched = F.col(f"{target}.name").isNotNull()
+            return df, matched
+
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast(rules)
         from pyspark.sql.functions import pandas_udf
@@ -289,7 +323,7 @@ class UseragentStage(Stage):
                     todo.loc[hit_idx] = False
                 yield out
 
-        df = df.withColumn(target, _ua(field_col(source)))
+        df = df.withColumn(target, _ua(src))
         matched = F.col(f"{target}.name").isNotNull()
         df = df.withColumn(target, F.when(matched, F.col(target)))
         return df, matched

@@ -1100,8 +1100,12 @@ _UA_RULES = [
     """,
 )
 def useragent_parse(spark, sf_dir):
-    """useragent filter: priority-ordered regex dim over a broadcast
-    rule set (uap-core first-match contract), vectorized str.contains."""
+    """useragent filter, native strategy: priority-ordered when/rlike
+    chain (uap-core first-match contract), zero Python."""
+    return _useragent_query(spark, sf_dir, "native")
+
+
+def _useragent_query(spark, sf_dir, strategy):
     ev = _t(spark, sf_dir, "events").withColumn(
         "agent",
         F.element_at(
@@ -1112,13 +1116,23 @@ def useragent_parse(spark, sf_dir):
     rules = spark.createDataFrame(
         _UA_RULES, "pattern string, name string, os string, device string, priority int"
     )
-    out = apply_stage(ev, {"useragent": {"source": "agent", "rules_df": rules}})
+    out = apply_stage(
+        ev, {"useragent": {"source": "agent", "rules_df": rules, "strategy": strategy}}
+    )
     return out.select(
         "event_id",
         F.col("ua.name").alias("ua_name"),
         F.col("ua.os").alias("ua_os"),
         F.col("ua.device").alias("ua_device"),
     )
+
+
+@_q("useragent_pandas_path", ORACLES["useragent_parse"])
+def useragent_pandas_path(spark, sf_dir):
+    """useragent filter, pandas strategy (the uap-core-scale path for
+    thousands of rules): broadcast rule set + vectorized str.contains
+    over only still-unmatched rows."""
+    return _useragent_query(spark, sf_dir, "pandas")
 
 
 @_q(
