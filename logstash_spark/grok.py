@@ -176,6 +176,37 @@ CORE_PATTERNS: dict[str, str] = {
     "NAGIOSTIME": r"\[%{NUMBER:nagios_epoch}\]",
     "ELB_URIPATHPARAM": r"%{URIPATH:path}(?:%{URIPARAM:params})?",
     "ELB_URI": r"%{URIPROTO:proto}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST:urihost})?(?:%{ELB_URIPATHPARAM})?",
+    # ---- aws access logs ----
+    "ELB_REQUEST_LINE": r"(?:%{WORD:verb} %{ELB_URI:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})",
+    "ELB_ACCESS_LOG": (
+        r"%{TIMESTAMP_ISO8601:timestamp} %{NOTSPACE:elb} %{IP:clientip}:%{INT:clientport} "
+        r"(?:(?:%{IP:backendip}:?:%{INT:backendport})|-) %{NUMBER:request_processing_time} "
+        r"%{NUMBER:backend_processing_time} %{NUMBER:response_processing_time} "
+        r"%{INT:response} %{INT:backend_response} %{INT:received_bytes} %{INT:bytes} "
+        r'"%{ELB_REQUEST_LINE}"'
+    ),
+    "S3_REQUEST_LINE": r"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})",
+    "S3_ACCESS_LOG": (
+        r"%{WORD:owner} %{NOTSPACE:bucket} \[%{HTTPDATE:timestamp}\] %{IP:clientip} "
+        r"%{NOTSPACE:requester} %{NOTSPACE:request_id} %{NOTSPACE:operation} %{NOTSPACE:key} "
+        r'(?:"%{S3_REQUEST_LINE}"|-) (?:%{INT:response}|-) (?:-|%{NOTSPACE:error_code}) '
+        r"(?:%{INT:bytes}|-) (?:%{INT:object_size}|-) (?:%{INT:request_time_ms}|-) "
+        r'(?:%{INT:turnaround_time_ms}|-) (?:"%{DATA:referrer}"|-) (?:"%{DATA:agent}"|-)'
+    ),
+    # ---- mongodb 3.x+ ----
+    "MONGO3_SEVERITY": r"\w",
+    "MONGO3_COMPONENT": r"%{WORD}",
+    "MONGO3_LOG": (
+        r"%{TIMESTAMP_ISO8601:timestamp} %{MONGO3_SEVERITY:severity} "
+        r"%{MONGO3_COMPONENT:component}\s+(?:\[%{DATA:context}\])? %{GREEDYDATA:message}"
+    ),
+    # ---- exim ----
+    "EXIM_MSGID": r"[0-9A-Za-z]{6}-[0-9A-Za-z]{6}-[0-9A-Za-z]{2}",
+    "EXIM_FLAGS": r"(?:<=|=>|->|\*>|\*\*|==|<>)",
+    "EXIM_DATE": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY} %{TIME}",
+    "EXIM_PID": r"\[%{POSINT:pid}\]",
+    # ---- postgresql stderr log prefix ----
+    "POSTGRESQL": r"%{DATESTAMP:timestamp} %{TZ:tz} %{DATA:user_id} %{GREEDYDATA:connection_id} %{POSINT:pid}",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")

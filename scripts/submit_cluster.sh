@@ -18,6 +18,5 @@ exec spark-submit \
   --conf spark.sql.adaptive.skewJoin.enabled=true \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --conf spark.sql.session.timeZone=UTC \
-  --conf spark.sql.ansi.enabled=false \
   --conf spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2 \
   "$REPO/__main_submit__.py" "$@"

@@ -213,3 +213,36 @@ def test_grok_break_on_match_false_accumulates():
     assert both.loc[0, "gid"] == "42" and both.loc[0, "guser"] == "bob"
     assert both.loc[1, "guser"] == "eve"
     assert not both.loc[2, "_matched"]
+
+
+def test_grok_pattern_library_compiles():
+    """Every named pattern in the library expands to a valid Python
+    regex, and the round-2 composites match realistic lines."""
+    from logstash_spark.grok import CORE_PATTERNS, compile_grok
+
+    for name in CORE_PATTERNS:
+        compile_grok("%{" + name + ":x}")
+    assert len(CORE_PATTERNS) >= 120
+    samples = {
+        "SYSLOGLINE": "Aug 17 09:01:02 web01 sshd[1234]: Accepted password",
+        "HAPROXYHTTPBASE": (
+            '10.0.0.1:45000 [17/Aug/2026:09:01:02.123] fe be/srv1 0/0/1/2/3 '
+            '200 1024 - - ---- 1/1/0/0/0 0/0 "GET /x HTTP/1.1"'),
+        "SYSLOG5424LINE": '<34>1 2026-08-17T09:01:02Z host app 123 ID47 [x a="b"] hi',
+        "S3_ACCESS_LOG": (
+            'abc123 mybucket [17/Aug/2026:09:01:02 +0000] 10.0.0.1 '
+            'arn:aws:iam::1:user/x REQ1 REST.GET.OBJECT my/key '
+            '"GET /my/key HTTP/1.1" 200 - 1024 1024 12 10 "-" "curl/8.0"'),
+        "ELB_ACCESS_LOG": (
+            '2026-08-17T09:01:02.123456Z my-elb 10.0.0.1:54321 10.0.1.2:80 '
+            '0.00005 0.01 0.00003 200 200 0 1024 '
+            '"GET http://example.com:80/p?q=1 HTTP/1.1"'),
+        "MONGO3_LOG": (
+            '2026-08-17T09:01:02.123+0000 I NETWORK  [conn123] '
+            'end connection 10.0.0.5:43210'),
+        "TOMCATLOG": '2026-08-17 09:01:02,123 | ERROR | com.x.Y - boom',
+        "JAVASTACKTRACEPART": '   at com.x.Foo.bar(Foo.java:42)',
+    }
+    for name, line in samples.items():
+        cg = compile_grok("%{" + name + "}")
+        assert cg.regex.search(line), name
