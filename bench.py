@@ -30,7 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_PAGES = int(os.environ.get("BENCH_PAGES", "60000"))
-N_FAT = int(os.environ.get("BENCH_FAT_PAGES", "20000"))
+# ~20 KB/doc pages: 60k docs ≈ 1.2 GB html — large enough that the
+# per-run fixed overhead (~4 s of job scheduling/persist bookkeeping)
+# stops dominating the MB/s number
+N_FAT = int(os.environ.get("BENCH_FAT_PAGES", "60000"))
 N_LOGS = int(os.environ.get("BENCH_LOGS", "300000"))
 STAGE_DIR = os.environ.get("BENCH_STAGE_DIR", "/tmp/logstash_spark_bench")
 
