@@ -101,8 +101,25 @@ def resolve_input(
         except Exception as e:
             raise SourceError(f"kafka input requires spark-sql-kafka jar: {e}")
 
-    if plugin in ("stdin", "heartbeat"):
-        raise SourceError(f"{plugin!r} input has no batch-engine equivalent "
+    if plugin == "heartbeat":
+        # logstash-input-heartbeat: periodic marker events. Batch form
+        # (SURVEY §2.2 mapping): `count` markers spaced `interval`
+        # seconds from `start_ts` — spark.range + interval arithmetic.
+        count = int(args.get("count", 1))
+        interval = int(args.get("interval", 60))
+        start = args.get("start_ts", "2026-01-01 00:00:00")
+        message = args.get("message", "ok")
+        return spark.range(count).select(
+            F.lit(message).alias("message"),
+            (
+                F.to_timestamp(F.lit(start))
+                + F.make_interval(secs=F.col("id") * interval)
+            ).alias("event_ts"),
+            F.col("id").alias("sequence"),
+        )
+
+    if plugin == "stdin":
+        raise SourceError("'stdin' input has no batch-engine equivalent "
                           "(SURVEY §2.2 [P2]) — use `generator` or `file`")
 
     raise SourceError(f"unknown input plugin {plugin!r}")

@@ -55,3 +55,16 @@ def test_dlq_readback(spark, tmp_path):
     df.write.parquet(str(tmp_path / "dlq"))
     back = resolve_input(spark, "dead_letter_queue", {"path": str(tmp_path / "dlq")})
     assert back.count() == 1
+
+
+def test_heartbeat_input(spark):
+    from logstash_spark.sources import resolve_input
+
+    df = resolve_input(
+        spark, "heartbeat",
+        {"count": 3, "interval": 30, "start_ts": "2026-06-01 00:00:00",
+         "message": "beat"},
+    )
+    rows = sorted(df.collect(), key=lambda r: r.sequence)
+    assert [r.message for r in rows] == ["beat"] * 3
+    assert rows[1].event_ts.second == 30 and rows[2].event_ts.minute == 1
