@@ -1444,6 +1444,70 @@ def fingerprint_hmac(spark, sf_dir):
     return out.select("event_id", "fp")
 
 
+@_q("dedup_embedding_neardup")  # seeded hyperplane LSH — no SQL oracle (rows-only)
+def dedup_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: hyperplane-LSH bucket equi-join
+    + exact cosine verify (the fifth dedup family). The fixture's random
+    vectors have no natural near-dups (max pairwise cosine ≈ 0.4), so
+    the corpus is augmented with deterministic SCALED COPIES of the
+    first 25 vectors (cosine is scale-invariant ⇒ each copy pairs with
+    its source at cosine 1.0) — the bucket join and the verify both do
+    real work and the result is a stable row set."""
+    from .datapipe.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = (
+        emb.filter(F.col("vec_id") < 25)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
+            "label",
+        )
+    )
+    corpus = emb.unionByName(copies)
+    return embedding_neardup_pairs(corpus, threshold=0.95).select(
+        "a", "b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+@_q(
+    "heartbeat_input",
+    """
+    SELECT 'ping' AS message,
+           TIMESTAMP '2026-06-01 00:00:00' + INTERVAL (i * 30) SECOND AS event_ts,
+           CAST(i AS BIGINT) AS sequence
+    FROM generate_series(0, 4) AS t(i)
+    """,
+)
+def heartbeat_input(spark, sf_dir):
+    """heartbeat input: periodic marker events (range + interval)."""
+    from .sources import resolve_input
+
+    return resolve_input(
+        spark, "heartbeat",
+        {"count": 5, "interval": 30, "start_ts": "2026-06-01 00:00:00",
+         "message": "ping"},
+    )
+
+
+@_q(
+    "environment_fields",
+    """
+    SELECT event_id, 'suite-env-value' AS deployment FROM events
+    """,
+)
+def environment_fields(spark, sf_dir):
+    """environment filter: env vars → plan-time literal fields."""
+    import os
+
+    os.environ["LS_SPARK_SUITE_ENV"] = "suite-env-value"
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(
+        ev, {"environment": {"add_field_from_env": {"deployment": "LS_SPARK_SUITE_ENV"}}}
+    )
+    return out.select("event_id", "deployment")
+
+
 @_q(
     "extractnumbers_scalars",
     r"""
