@@ -859,6 +859,89 @@ def events_daily_rollup(spark, sf_dir):
     )
 
 
+@_q(
+    "events_rollup_hierarchy",
+    """
+    SELECT event_type,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+           count(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+    FROM events GROUP BY ROLLUP(event_type, month)
+    """,
+)
+def events_rollup_hierarchy(spark, sf_dir):
+    """GROUP BY ROLLUP (SURVEY §2.6 'free with Spark' row exercised):
+    (type, month) + per-type subtotals + grand total in one pass."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.rollup(
+        "event_type", F.date_trunc("MONTH", F.col("ts")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("value_micros"),
+    )
+
+
+@_q(
+    "semi_anti_joins",
+    """
+    SELECT 'with_orders' AS kind, count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS kind, count(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_anti_joins(spark, sf_dir):
+    """left_semi / left_anti joins (§2.6: set-membership between event
+    streams — beyond the reference's lookup-only join surface)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("with_orders").alias("kind"), "n")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("without_orders").alias("kind"), "n")
+    return semi.unionByName(anti)
+
+
+@_q(
+    "window_function_battery",
+    """
+    SELECT event_id,
+           lag(event_id) OVER w AS prev_id,
+           lead(event_id) OVER w AS next_id,
+           rank() OVER (PARTITION BY event_type ORDER BY CAST(FLOOR(value * 1000000) AS BIGINT) DESC, event_id) AS value_rank,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT))
+                OVER (PARTITION BY event_type ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_micros
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+    """,
+)
+def window_function_battery(spark, sf_dir):
+    """lag/lead/rank/running-sum over partitions (§2.6 window surface;
+    integer-micros discipline for the running sum)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    micros = F.floor(F.col("value") * 1000000).cast("long")
+    wrank = Window.partitionBy("event_type").orderBy(F.col("__m").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("__m", micros)
+        .select(
+            "event_id",
+            F.lag("event_id").over(w).alias("prev_id"),
+            F.lead("event_id").over(w).alias("next_id"),
+            F.rank().over(wrank).alias("value_rank"),
+            F.sum("__m").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("running_micros"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
