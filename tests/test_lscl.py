@@ -184,3 +184,55 @@ def test_csv_sink_flattens_complex_columns(spark, tmp_path):
     assert metrics.sinks["out_csv"] == 2
     lines = spark.read.csv(f"{run_dir}/out_csv").collect()
     assert len(lines) == 2  # readable CSV, no AnalysisException
+
+
+def test_conditional_merge_equals_branch_semantics(spark):
+    """Differential check over every merge-lowered stage family: the
+    when/otherwise column-merge lowering must produce EXACTLY the rows
+    the naive filter(cond) -> stage -> union filter(~cond) lowering
+    produces (order-insensitive). Catches any under-declared _targets."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.conditions import compile_condition
+    from logstash_spark.pipeline import _conditional_merge
+    from logstash_spark.stages.base import build_stage
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de",
+          f"id={i} k=v{i}", f'{{"k": {i}}}', f"t{i},{i}", float(i))
+         for i in range(40)],
+        "id int, lang string, message string, jsonmsg string, csvmsg string, val double",
+    )
+    when = "[lang] == 'en'"
+    specs = [
+        {"grok": {"match": {"message": "id=%{INT:gid}"}}},
+        {"dissect": {"mapping": {"message": "id=%{did} %{rest}"}}},
+        {"kv": {"source": "message"}},
+        {"json": {"source": "jsonmsg", "schema": "k int", "target": "jp"}},
+        {"csv": {"source": "csvmsg", "columns": ["ca", "cb"]}},
+        {"xml": {"source": "message", "schema": "t string", "target": "x"}},
+        {"date": {"match": ["message", "yyyy-MM-dd"], "target": "dts"}},
+        {"mutate": {"replace": {"message": "redacted"}, "convert": {"val": "integer"}}},
+        {"translate": {"source": "lang", "target": "lname",
+                       "dictionary": {"en": "english"}, "fallback": "?"}},
+        {"fingerprint": {"source": "message", "method": "SHA256"}},
+        {"urldecode": {"field": "message"}},
+        {"truncate": {"length_bytes": 5, "fields": ["message"]}},
+        {"uuid": {"deterministic_from": "id"}},
+        {"extractnumbers": {"source": "message"}},
+        {"tld": {"source": "message", "suffixes": ["com"]}},
+        {"mutate": {"add_field": {"note": "%{lang}!"}, "add_tag": ["seen"]}},
+    ]
+    for spec in specs:
+        stage = build_stage(spec)
+        cond = compile_condition(when, df)
+        targets = stage.conditional_targets(df)
+        assert targets is not None, spec
+        merged = _conditional_merge(df, stage, cond, targets)
+        branch_stage = build_stage(spec)
+        naive = branch_stage.apply(df.filter(cond)).unionByName(
+            df.filter(~F.coalesce(cond, F.lit(False))), allowMissingColumns=True
+        )
+        m_rows = sorted(map(str, merged.select(*sorted(merged.columns)).collect()))
+        n_rows = sorted(map(str, naive.select(*sorted(naive.columns)).collect()))
+        assert m_rows == n_rows, f"divergence for {spec}"
