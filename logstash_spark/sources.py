@@ -74,15 +74,26 @@ def resolve_input(
         return spark.read.parquet(args["path"])
 
     if plugin == "jdbc":
-        # logstash-integration-jdbc input: statement + connection
+        # logstash-integration-jdbc input: statement/dbtable + connection.
+        # Tested end-to-end against the Derby embedded driver that ships
+        # inside the Spark distribution (tests/test_sources.py) — other
+        # engines need their driver jar on the cluster classpath.
         try:
-            reader = spark.read.format("jdbc").options(
-                url=args["jdbc_connection_string"],
-                query=args["statement"],
-                driver=args.get("jdbc_driver_class", ""),
-            )
-            return reader.load()
-        except Exception as e:  # driver jar not in this container
+            opts = {
+                "url": args["jdbc_connection_string"],
+                "driver": args.get("jdbc_driver_class",
+                                   "org.apache.derby.jdbc.EmbeddedDriver"),
+            }
+            if "statement" in args:
+                opts["query"] = args["statement"]
+            else:
+                opts["dbtable"] = args["dbtable"]
+            return spark.read.format("jdbc").options(**opts).load()
+        except SourceError:
+            raise
+        except KeyError as e:
+            raise SourceError(f"jdbc input requires {e} in its config")
+        except Exception as e:  # driver jar not on this cluster
             raise SourceError(f"jdbc input requires the driver jar on the cluster: {e}")
 
     if plugin == "kafka":

@@ -1651,6 +1651,38 @@ def range_check(spark, sf_dir):
     )
 
 
+@_q("jdbc_static_enrich", _TRANSLATE_ORACLE)
+def jdbc_static_enrich(spark, sf_dir):
+    """jdbc_static filter (logstash-integration-jdbc): preload a DB
+    table, enrich per event via a local lookup — here literally
+    `spark.read.jdbc` → broadcast hash join. Runs against the Derby
+    EMBEDDED driver that ships inside the Spark distribution, so the
+    whole jdbc path (write dim → read dim → join) executes for real."""
+    url = f"jdbc:derby:/tmp/suite_derby_{abs(hash(sf_dir)) % 10**8};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
+        "etype string, category string",
+    )
+    dim.write.mode("overwrite").format("jdbc").options(
+        url=url, dbtable="dim_categories", driver=driver
+    ).save()
+    from .sources import resolve_input
+
+    jdbc_dim = resolve_input(
+        spark, "jdbc",
+        {"jdbc_connection_string": url, "dbtable": "dim_categories",
+         "jdbc_driver_class": driver},
+    )
+    ev = _t(spark, sf_dir, "events")
+    out = apply_stage(
+        ev,
+        {"translate": {"source": "event_type", "target": "category",
+                       "dictionary_df": jdbc_dim, "fallback": "other"}},
+    )
+    return out.select("event_id", "category")
+
+
 @_q(
     "aggregate_timeout_flush",
     """

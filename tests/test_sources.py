@@ -68,3 +68,32 @@ def test_heartbeat_input(spark):
     rows = sorted(df.collect(), key=lambda r: r.sequence)
     assert [r.message for r in rows] == ["beat"] * 3
     assert rows[1].event_ts.second == 30 and rows[2].event_ts.minute == 1
+
+
+def test_jdbc_input_embedded_derby(spark, tmp_path):
+    """The real jdbc reader path against the Derby embedded driver that
+    ships inside the Spark distribution: write a table via
+    df.write.jdbc, read it back through resolve_input('jdbc')."""
+    from logstash_spark.sources import resolve_input
+
+    url = f"jdbc:derby:{tmp_path}/jdbc_db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id int, name string"
+    ).write.mode("overwrite").format("jdbc").options(
+        url=url, dbtable="things", driver=driver
+    ).save()
+    back = resolve_input(
+        spark, "jdbc",
+        {"jdbc_connection_string": url, "dbtable": "things",
+         "jdbc_driver_class": driver},
+    )
+    assert sorted((r[0], r[1]) for r in back.collect()) == [(1, "alpha"), (2, "beta")]
+    # statement mode (Derby folds unquoted identifiers to upper case)
+    q = resolve_input(
+        spark, "jdbc",
+        {"jdbc_connection_string": url,
+         "statement": 'SELECT "id" FROM things WHERE "id" > 1',
+         "jdbc_driver_class": driver},
+    )
+    assert [r[0] for r in q.collect()] == [2]
