@@ -1684,6 +1684,39 @@ def jdbc_static_enrich(spark, sf_dir):
 
 
 @_q(
+    "translate_multicol_dim",
+    """
+    SELECT event_id,
+           CASE event_type WHEN 'click' THEN 'engagement'
+                WHEN 'purchase' THEN 'revenue' END AS category,
+           CASE event_type WHEN 'click' THEN 10
+                WHEN 'purchase' THEN 99 END AS weight
+    FROM events
+    """,
+)
+def translate_multicol_dim(spark, sf_dir):
+    """translate/jdbc_static with a MULTI-COLUMN dimension: the dim's
+    value columns pack into one struct target (the jdbc_static shape
+    the flagship's dominfo uses); struct fields selected as scalars for
+    exact cross-engine comparison."""
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", "engagement", 10), ("purchase", "revenue", 99)],
+        "etype string, category string, weight int",
+    )
+    out = apply_stage(
+        ev,
+        {"translate": {"source": "event_type", "target": "info",
+                       "dictionary_df": dim}},
+    )
+    return out.select(
+        "event_id",
+        F.col("info.category").alias("category"),
+        F.col("info.weight").alias("weight"),
+    )
+
+
+@_q(
     "aggregate_timeout_flush",
     """
     SELECT user_id, false AS is_timeout_event, CAST(NULL AS BIGINT) AS n, event_id
