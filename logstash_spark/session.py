@@ -72,6 +72,10 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "2g")
+        # Derby (the embedded JDBC engine the jdbc tests run against, and
+        # Hive metastore fallback) writes derby.log to derby.system.home,
+        # which defaults to the process cwd — keep it out of the repo.
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp")
     )
     # Local-mode bench harnesses need a big driver heap (the driver JVM
     # hosts all 32 task slots; 1g GC-thrashes under concurrent parquet
