@@ -492,6 +492,15 @@ class RubyStage(Stage):
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
         fn = self.conf["code"]
+        if isinstance(fn, str):
+            # an LSCL config carrying inline Ruby source — fail with the
+            # engine's contract instead of crashing when "fn(s)" is a str
+            raise ValueError(
+                "ruby stage: `code` must be a Python callable "
+                "(pd.Series -> pd.Series); inline Ruby source strings are "
+                "not executable in this engine — port the snippet to a "
+                "vectorized function and pass it via the pipeline spec"
+            )
         source = self.conf.get("source", "message")
         sources = [source] if isinstance(source, str) else list(source)
         target = self.conf.get("target", field_name(sources[0]))

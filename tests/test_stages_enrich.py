@@ -128,3 +128,31 @@ def test_tld(spark):
     assert rows[1].tld == "co.uk" and rows[1].domain == "www.example.co.uk"
     assert rows[2].tld == "com"
     assert rows[3].tld is None
+
+
+def test_translate_dictionary_file_formats(tmp_path):
+    """YAML (minimal fallback parser) / CSV / JSON dictionary files all
+    load to the same dict (translate.rb file-dictionary surface)."""
+    from logstash_spark.stages.enrich import load_dictionary_file
+
+    expected = {"click": "engagement", "purchase": "revenue"}
+    (tmp_path / "d.json").write_text('{"click": "engagement", "purchase": "revenue"}')
+    (tmp_path / "d.csv").write_text("click,engagement\npurchase,revenue\n")
+    (tmp_path / "d.yml").write_text(
+        "# categories\nclick: engagement\n'purchase': 'revenue'\n"
+    )
+    for name in ("d.json", "d.csv", "d.yml"):
+        assert load_dictionary_file(str(tmp_path / name)) == expected, name
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_dictionary_file(str(tmp_path / "d.txt"))
+
+
+def test_ruby_code_string_rejected(spark):
+    from logstash_spark.stages.base import apply_stage
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "id int, message string")
+    with pytest.raises(ValueError, match="callable"):
+        apply_stage(df, {"ruby": {"code": 'event.set("a", 1)'}})
