@@ -31,6 +31,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Persisted id-lists handed back inside lazy results (minhash_dedup's
+# to_drop). They are tiny (ids only), but a long-lived session doing
+# many dedup calls should release them once results are consumed.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_dedup_caches() -> None:
+    """Unpersist every id-list cache minhash_dedup left alive inside a
+    returned (lazy) result. Call after the result is materialized."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
+
 # ---------------------------------------------------------------- exact
 def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id row per identical content (sha256 fingerprint)."""
@@ -49,11 +62,22 @@ def _spread(df: DataFrame) -> DataFrame:
     arrives in thousands of splits, but a small single-file table would
     serialize the whole projection on one core (measured 3x on the
     bench corpus). Round-robin repartition up to the session's
-    parallelism when under-partitioned; row-wise deterministic
-    expressions are partition-invariant, so results are unchanged."""
+    parallelism when the SCAN is under-split; row-wise deterministic
+    expressions are partition-invariant, so results are unchanged.
+
+    Split detection reads plan metadata only (``inputFiles``) — no RDD
+    conversion, no job. A file count at or above the parallelism means
+    the scan already yields enough splits; fewer files may still split
+    by byte range, but a small file is single-row-group in practice, so
+    the explicit round-robin is the reliable path. Non-file inputs
+    (empty ``inputFiles``) pass through untouched."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -244,23 +268,33 @@ def minhash_dedup(
     # persist: the signature scan feeds three plan subtrees (band join
     # left/right via exchange reuse, verify probe x2); without it the
     # 64-hash projection runs per subtree. MEMORY_AND_DISK — eviction
-    # only costs recompute, never correctness.
+    # only costs recompute, never correctness. Lifecycle: to_drop (ids
+    # only — tiny relative to the corpus) is materialized eagerly, then
+    # the fat signature cache is released immediately, so repeated calls
+    # in a long-lived session don't accumulate cached signature blocks.
     base = _minhash_base(df, id_col, text_col, num_perm, shingle_k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = _banded_candidates(base, num_perm, bands)
-    hs = base.select("id", "hs")
-    dups = (
-        cands.join(hs.withColumnRenamed("id", "a").withColumnRenamed("hs", "hs_a"), "a")
-        .join(hs.withColumnRenamed("id", "b").withColumnRenamed("hs", "hs_b"), "b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("hs_a", "hs_b"))
-            / F.size(F.array_union("hs_a", "hs_b")),
+    try:
+        cands = _banded_candidates(base, num_perm, bands)
+        hs = base.select("id", "hs")
+        dups = (
+            cands.join(hs.withColumnRenamed("id", "a").withColumnRenamed("hs", "hs_a"), "a")
+            .join(hs.withColumnRenamed("id", "b").withColumnRenamed("hs", "hs_b"), "b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("hs_a", "hs_b"))
+                / F.size(F.array_union("hs_a", "hs_b")),
+            )
+            .filter(F.col("jaccard") >= threshold)
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    to_drop = dups.select(F.col("b").alias(id_col)).distinct()
+        to_drop = dups.select(F.col("b").alias(id_col)).distinct().persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        to_drop.count()  # materialize before releasing the signature cache
+        _LIVE_CACHES.append(to_drop)
+    finally:
+        base.unpersist()
     return df.join(to_drop, id_col, "left_anti")
 
 
@@ -344,27 +378,155 @@ def simhash_dedup(
 
 
 # --------------------------------------------------------- n-gram Jaccard
+
+# Document-frequency cap on the inverted-index join key — the exact
+# analogue of HOT_BUCKET_CAP for the shingle self-join. A stop-phrase
+# shingle shared by m documents makes the all-pairs join emit m^2
+# candidate rows; web corpora guarantee such shingles, so uncapped this
+# operator is quadratic at scale. Shingles above the cap switch to
+# representative pairing (min-id holder vs every other holder): O(m),
+# and still links every member of a giant identical cluster to its
+# representative. A true near-dup pair (Jaccard ≥ 0.5 over shingle
+# SETS) shares many shingles — losing candidacy requires EVERY shared
+# shingle to be corpus-hot, which near-dup pairs don't exhibit. Not a
+# silent cap: ngram_shingle_stats() reports hot-shingle counts.
+NGRAM_DF_CAP = 64
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    df_cap: int = NGRAM_DF_CAP,
 ) -> DataFrame:
     """All pairs ≥ threshold via inverted-index blocking: explode
-    shingles → equi-join on shingle → distinct candidate pairs → exact
-    Jaccard. Never a cross-join; the join key is the shingle itself."""
+    shingles → equi-join on shingle (document frequency ≤ df_cap;
+    hotter shingles degrade to representative pairing) → distinct
+    candidate pairs → exact Jaccard. Never a cross-join; the join key
+    is the shingle itself."""
     sh = _spread(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
     )
     inv = sh.select("id", F.explode("sh").alias("shingle"))
-    l, r = inv.alias("l"), inv.alias("r")
-    cands = (
+    w = Window.partitionBy("shingle")
+    annotated = inv.withColumn("__df", F.count(F.lit(1)).over(w)).withColumn(
+        "__rep", F.min("id").over(w)
+    )
+    cold = annotated.filter((F.col("__df") >= 2) & (F.col("__df") <= df_cap))
+    l, r = cold.alias("l"), cold.alias("r")
+    pairs_cold = (
         l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
     )
+    pairs_hot = (
+        annotated.filter((F.col("__df") > df_cap) & (F.col("id") != F.col("__rep")))
+        .select(F.col("__rep").alias("a"), F.col("id").alias("b"))
+    )
+    cands = pairs_cold.unionByName(pairs_hot).distinct()
     return jaccard_verify(df, cands, id_col, text_col, shingle_k, threshold)
+
+
+def ngram_shingle_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    df_cap: int = NGRAM_DF_CAP,
+) -> dict:
+    """No-silent-caps accounting for ngram_jaccard_pairs: how many
+    distinct shingles exceeded df_cap (→ representative pairing) and
+    the hottest shingle's document frequency."""
+    sh = df.select(word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    freq = sh.select(F.explode("sh").alias("shingle")).groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row = freq.agg(
+        F.count(F.lit(1)).alias("shingles"),
+        F.sum(F.when(F.col("n") > df_cap, 1).otherwise(0)).alias("hot_shingles"),
+        F.max("n").alias("max_df"),
+    ).collect()[0]
+    return {
+        "shingles": int(row["shingles"]),
+        "hot_shingles": int(row["hot_shingles"] or 0),
+        "max_df": int(row["max_df"] or 0),
+        "cap": df_cap,
+    }
+
+
+# ------------------------------------------- connected-component groups
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 50
+) -> DataFrame:
+    """(id, component) for every node in the pairs edge-list, component
+    = min reachable id. Iterative min-label propagation over the
+    symmetric edge list: each round every node takes the min of its own
+    label and its neighbors' labels; converges in O(diameter) rounds
+    (near-dup clusters are shallow — a handful of rounds in practice;
+    the driver loop is per-ROUND, not per-row, so this stays fully
+    distributed). Each round is one shuffle on the node id, and the
+    round's labels are CHECKPOINTED — an iterative DataFrame whose plan
+    nests the previous round's plan grows exponentially, so lineage
+    must be truncated every round, not merely persisted. Uses the
+    session's reliable checkpoint dir when one is configured (the
+    cluster story — survives executor loss), else localCheckpoint.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .unionByName(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        labels = _truncate(
+            edges.select(F.col("s").alias("id")).distinct().withColumn("comp", F.col("id"))
+        )
+        for _ in range(max_iter):
+            # neighbor-propagated labels: node s sees d's current label
+            prop = (
+                edges.join(labels.withColumnRenamed("id", "d"), "d")
+                .select(F.col("s").alias("id"), "comp")
+            )
+            new_labels = _truncate(
+                labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
+                .filter(F.col("comp") != F.col("old"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def dedup_connected_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep exactly one doc (the min id) per CONNECTED COMPONENT of the
+    near-dup pair graph — the transitive-closure semantics
+    (A~B, B~C ⇒ A,B,C one group even when A≁C directly) that greedy
+    pair-drop approximates. Everything not in any pair passes through.
+    """
+    comps = connected_components(pairs)
+    drop = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
 
 
 # ------------------------------------------------- embedding near-dup

@@ -183,6 +183,108 @@ def assign_ivf_lists(df: DataFrame, centroids: np.ndarray, emb_col: str = "embed
     return df.withColumn("__ivf_list", (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
 
 
+def refine_ivf_centroids(
+    df: DataFrame, centroids: np.ndarray, emb_col: str = "embedding", iters: int = 1
+) -> np.ndarray:
+    """k-means refinement: re-center each list on the mean of its
+    assigned rows (Lloyd iterations). Each iteration is ONE distributed
+    aggregate — assign (native argmin projection) → groupBy list →
+    element-wise mean via array-position aggregation; only the C×dim
+    centroid matrix ever reaches the driver. Empty lists keep their
+    previous centroid."""
+    cents = centroids
+    for _ in range(iters):
+        assigned = assign_ivf_lists(df, cents, emb_col)
+        rows = (
+            assigned.groupBy("__ivf_list")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col(emb_col), i + 1).cast("double")).alias(f"c{i}")
+                    for i in range(cents.shape[1])
+                ]
+            )
+            .collect()
+        )
+        nxt = cents.copy()
+        for r in rows:
+            nxt[r["__ivf_list"]] = [r[f"c{i}"] for i in range(cents.shape[1])]
+        cents = nxt
+    return cents
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    emb_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    kmeans_iters: int = 1,
+) -> np.ndarray:
+    """Materialize the IVF index: one k-means refinement over seeded
+    centroids, then rows written PARTITIONED BY their inverted-list id
+    (one directory per list). At query time the nprobe nearest lists
+    become a partition filter — non-probed list directories are never
+    opened (same 100 TB story as write_ann_index, with data-adaptive
+    cells instead of fixed hyperplanes). The refined centroid matrix is
+    persisted next to the data (JSON) so queries rank lists without
+    touching the corpus. Returns the refined centroids."""
+    import json
+
+    cents = build_ivf_centroids(df, n_centroids, emb_col, seed)
+    if kmeans_iters > 0:
+        cents = refine_ivf_centroids(df, cents, emb_col, kmeans_iters)
+    assigned = assign_ivf_lists(df, cents, emb_col).withColumnRenamed(
+        "__ivf_list", "ivf_list"
+    )
+    assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    # tiny sidecar via the JVM-agnostic local path contract: the index
+    # path here is a filesystem path in local mode; on object storage
+    # this write goes through the same Hadoop FS the parquet did
+    meta = {"centroids": cents.tolist(), "seed": seed}
+    spark = df.sparkSession
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{path}_meta")
+    return cents
+
+
+def read_ivf_centroids(spark, path: str) -> np.ndarray:
+    import json
+
+    meta = json.loads(spark.read.text(f"{path}_meta").collect()[0][0])
+    return np.asarray(meta["centroids"], dtype=np.float64)
+
+
+def ann_ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """ANN over a write_ivf_index layout: `ivf_list` is a PARTITION
+    column, so isin(probe) shows up as PartitionFilters in the scan and
+    only the nprobe nearest list directories are read."""
+    if centroids is None:
+        centroids = read_ivf_centroids(spark, path)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((centroids - q) ** 2).sum(axis=1))
+    probe = [int(i) for i in order[:nprobe]]
+    df = spark.read.parquet(path)
+    cand = df.filter(F.col("ivf_list").isin(probe))
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine_sim(F.col(emb_col), _lit_vec(query_vec)), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ann_ivf_topk(
     df: DataFrame,
     query_vec,

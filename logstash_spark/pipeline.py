@@ -78,7 +78,10 @@ class Pipeline:
         (pipeline.run calls it after each batch).
         """
         df = ensure_tags(df)
-        self._branch_caches: list[DataFrame] = []
+        # a second compile() on the same Pipeline must not orphan the
+        # previous call's branch persists (library callers may compile
+        # without run(); run() also releases after each batch)
+        self.release_branch_caches()
         for when, stage in self.stages:
             if when is None:
                 df = stage.apply(df)
@@ -229,7 +232,10 @@ def _conditional_merge(df: DataFrame, stage, cond, targets: list[str]) -> DataFr
     2. back up every target column that already exists;
     3. run the stage over ALL rows (one subtree execution);
     4. per target: matched rows take the stage's value, others keep the
-       backup (or null for brand-new columns).
+       backup (or null for brand-new columns). A target the stage
+       REMOVED outright (remove_field on a matched=None stage drops the
+       column) is rebuilt from the backup: null for matched rows — the
+       remove applied to them — and the original value for the rest.
     """
     pre = df.withColumn(_COND, F.coalesce(cond, F.lit(False)))
     backups: dict[str, str] = {}
@@ -251,9 +257,15 @@ def _conditional_merge(df: DataFrame, stage, cond, targets: list[str]) -> DataFr
         )
     for c in targets:
         if c in backups:
-            out = out.withColumn(
-                c, F.when(F.col(_COND), F.col(c)).otherwise(F.col(backups[c]))
-            )
+            if c in out.columns:
+                out = out.withColumn(
+                    c, F.when(F.col(_COND), F.col(c)).otherwise(F.col(backups[c]))
+                )
+            else:
+                # stage dropped the column (e.g. `if [x] { mutate {
+                # remove_field => [c] } }`): null for matched rows,
+                # backup for the rest
+                out = out.withColumn(c, F.when(~F.col(_COND), F.col(backups[c])))
         elif c in out.columns:
             out = out.withColumn(c, F.when(F.col(_COND), F.col(c)))
     return out.drop(_COND, *backups.values())

@@ -22,12 +22,20 @@ from .base import Stage, add_tags, register
 
 def ip_to_long(col: Column) -> Column:
     """Dotted-quad → int64, fully native (aggregate over split octets).
-    try_cast: a malformed octet nulls the whole value (lookup-miss →
-    failure tag) instead of throwing under ANSI sessions."""
-    return F.aggregate(
-        F.transform(F.split(col, r"\."), lambda x: x.try_cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc * 256 + x,
+
+    ANSI-proof in two layers: try_cast nulls non-numeric octets, and a
+    0..255 range gate nulls numeric-but-not-an-octet segments BEFORE the
+    fold — ``"99999999999999999.1.1.1"`` must yield null (lookup miss →
+    failure tag), not an ARITHMETIC_OVERFLOW abort under the ANSI-on
+    default session. Exactly 4 octets required (a 5+-segment string
+    would otherwise fold past 2^32 and, at 8+, overflow int64)."""
+    octets = F.transform(
+        F.split(col, r"\."),
+        lambda x: F.when(x.try_cast("long").between(0, 255), x.try_cast("long")),
+    )
+    return F.when(
+        F.size(octets) == 4,
+        F.aggregate(octets, F.lit(0).cast("long"), lambda acc, x: acc * 256 + x),
     )
 
 

@@ -286,10 +286,21 @@ class CsvStage(Stage):
             # csv.rb autodetect_column_names: the FIRST event names the
             # columns and is consumed. Plan-time one-row action (the
             # reference reads it from the stream the same way).
+            # Determinism contract: a DataFrame batch has no stream
+            # order, so "first" means first row of the first input
+            # split — stable for a given input layout, but callers with
+            # heterogeneous row shapes should pin `header` explicitly.
+            # The header filter below removes EVERY row equal to the
+            # header line (assumes the header text occurs exactly once,
+            # the overwhelmingly common shape; a data row that exactly
+            # reproduces the full header line would also be dropped).
             sep = self.conf.get("separator", ",")
             quote = self.conf.get("quote_char", '"')
-            first = df.select(src0.alias("__h")).filter(src0.isNotNull()).first()
-            header = first["__h"] if first else ""
+            if "header" in self.conf:
+                header = self.conf["header"]
+            else:
+                first = df.select(src0.alias("__h")).filter(src0.isNotNull()).first()
+                header = first["__h"] if first else ""
             cols = [c.strip().strip(quote) for c in header.split(sep)]
             convert = self.conf.get("convert", {})
             ddl = ", ".join(f"`{c}` {convert.get(c, 'string')}" for c in cols)

@@ -186,3 +186,73 @@ def test_ann_indexed_partition_pruning(spark, sf_dir, tmp_path):
 
     m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "bucket" in m.group(1)
+
+
+def test_ngram_hot_shingle_skew(spark):
+    """The stop-phrase degenerate case: 1k docs share one shingle. The
+    document-frequency cap must keep the inverted-index join linear
+    (representative pairing) while identical docs still pair up."""
+    shared = "lorem ipsum dolor"  # one 3-shingle shared by every doc
+    rows = [(i, f"{shared} unique{i} tail{i} word{i}") for i in range(1000)]
+    rows += [(2000, "aa bb cc dd ee ff"), (2001, "aa bb cc dd ee ff")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = dedup.ngram_shingle_stats(df)
+    assert stats["max_df"] >= 1000 and stats["hot_shingles"] >= 1
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.9)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (2000, 2001) in got       # identical pair found via cold shingles
+    assert all(a == 0 or b > 1999 for a, b in got)  # hot path only reps doc 0
+
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C, A≁C: one component, exactly one survivor (min id);
+    isolated pair D~E keeps its own min."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "a long, b long"
+    )
+    comps = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert comps == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+    out = dedup.dedup_connected_components(docs, pairs)
+    kept = sorted(r.doc_id for r in out.collect())
+    dedup.release_dedup_caches()
+    assert kept == [0, 3, 5]  # 5 untouched by any pair
+
+
+def test_connected_components_long_chain(spark):
+    """Chain 0-1-2-...-9 has diameter 9: propagation must iterate to a
+    fixpoint, not stop after one round."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "a long, b long"
+    )
+    comps = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    dedup.release_dedup_caches()
+    assert set(comps.values()) == {0} and len(comps) == 10
+
+
+def test_ivf_indexed_partition_pruning(spark, sf_dir, tmp_path):
+    """write_ivf_index partitions by inverted list; the nprobe predicate
+    must appear as PartitionFilters, and with nprobe == n_centroids the
+    result matches the unindexed IVF query using the same centroids."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    cents = similarity.write_ivf_index(emb, path, n_centroids=8, kmeans_iters=1)
+
+    qvec = [(1.0, 0.5, -0.25)[i % 3] for i in range(64)]
+    indexed = similarity.ann_ivf_topk_indexed(spark, path, qvec, k=10, nprobe=8)
+    plain = similarity.ann_ivf_topk(emb, qvec, k=10, nprobe=8, centroids=cents)
+    assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in plain.collect()]
+
+    # centroids round-trip through the sidecar
+    stored = similarity.read_ivf_centroids(spark, path)
+    assert np.allclose(stored, cents)
+
+    pruned = similarity.ann_ivf_topk_indexed(spark, path, qvec, k=10, nprobe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "ivf_list" in m.group(1)

@@ -222,6 +222,8 @@ def test_conditional_merge_equals_branch_semantics(spark):
         {"extractnumbers": {"source": "message"}},
         {"tld": {"source": "message", "suffixes": ["com"]}},
         {"mutate": {"add_field": {"note": "%{lang}!"}, "add_tag": ["seen"]}},
+        {"mutate": {"remove_field": ["csvmsg"]}},
+        {"urldecode": {"field": "message", "remove_field": ["jsonmsg"]}},
     ]
     for spec in specs:
         stage = build_stage(spec)
@@ -236,3 +238,27 @@ def test_conditional_merge_equals_branch_semantics(spark):
         m_rows = sorted(map(str, merged.select(*sorted(merged.columns)).collect()))
         n_rows = sorted(map(str, naive.select(*sorted(naive.columns)).collect()))
         assert m_rows == n_rows, f"divergence for {spec}"
+
+
+def test_conditional_remove_field_merge(spark):
+    """`if [cond] { mutate { remove_field => [...] } }` — the stage drops
+    the column outright for a matched=None transform; the merge lowering
+    must rebuild it (null where matched, original elsewhere), not crash
+    with UNRESOLVED_COLUMN."""
+    from logstash_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "en", "hello"), (2, "de", "hallo")],
+        "id int, lang string, message string",
+    )
+    pipe = Pipeline({
+        "id": "t",
+        "filters": [
+            {"when": "[lang] == 'en'",
+             "mutate": {"remove_field": ["message"], "add_tag": ["redacted"]}},
+        ],
+    })
+    rows = {r.id: r for r in pipe.compile(df).collect()}
+    pipe.release_branch_caches()
+    assert rows[1].message is None and "redacted" in rows[1].tags
+    assert rows[2].message == "hallo" and "redacted" not in (rows[2].tags or [])

@@ -156,3 +156,16 @@ def test_ruby_code_string_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "id int, message string")
     with pytest.raises(ValueError, match="callable"):
         apply_stage(df, {"ruby": {"code": 'event.set("a", 1)'}})
+
+
+def test_ip_to_long_malformed_never_aborts(spark):
+    """ANSI-on session: numeric-but-huge segments must yield null, not
+    ARITHMETIC_OVERFLOW; wrong octet counts and out-of-range octets are
+    lookup misses (null), never job aborts."""
+    df = spark.createDataFrame(
+        [("99999999999999999.1.1.1",), ("1.2.3",), ("1.2.3.4.5",),
+         ("256.1.1.1",), ("a.b.c.d",), ("10.0.0.1",), (None,)],
+        "ip string",
+    )
+    vals = [r.n for r in df.select(ip_to_long(F.col("ip")).alias("n")).collect()]
+    assert vals == [None, None, None, None, None, 167772161, None]
