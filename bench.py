@@ -153,13 +153,12 @@ def main():
     suite_queries = [
         "pricing_summary",
         "top_customers",
-        "events_daily_rollup",
+        "events_rollup_hierarchy",
         "route_sink_counts",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "textstats_quality",
-        "similarity_cosine_topk",
-        "similarity_ann_lsh",
+        "similarity_topk_battery",
     ]
     for name in suite_queries:
         fn = suite.QUERIES[name]

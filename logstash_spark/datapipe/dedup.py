@@ -95,6 +95,15 @@ def word_shingles(col, k: int = 3):
 
 
 # --------------------------------------------------------- MinHash + LSH
+def _perm_hasher(p: int):
+    """Closure factory — NOT a default-arg lambda: a 2-parameter lambda
+    handed to F.transform is called as fn(element, index), so
+    ``lambda s, p=p: ...`` silently binds p to the ARRAY INDEX and every
+    "permutation" degrades to one position-seeded hash (near-zero
+    near-dup recall; caught by the independent literal oracle)."""
+    return lambda s: F.xxhash64(s, F.lit(p))
+
+
 def minhash_signature(shingles_col, num_perm: int = 64):
     """P minhashes: min over shingles of xxhash64(shingle, perm_seed).
 
@@ -103,7 +112,7 @@ def minhash_signature(shingles_col, num_perm: int = 64):
     """
     return F.array(
         *[
-            F.array_min(F.transform(shingles_col, lambda s, p=p: F.xxhash64(s, F.lit(p))))
+            F.array_min(F.transform(shingles_col, _perm_hasher(p)))
             for p in range(num_perm)
         ]
     )

@@ -149,15 +149,23 @@ def ann_lsh_topk_indexed(
 
 
 def build_ivf_centroids(
-    df: DataFrame, n_centroids: int = 16, emb_col: str = "embedding", seed: int = 42
+    df: DataFrame,
+    n_centroids: int = 16,
+    emb_col: str = "embedding",
+    seed: int = 42,
+    order_col: str | None = None,
 ) -> np.ndarray:
-    """Deterministic centroid init: hash-ordered sample of rows (a
-    k-means iteration is a documented extension; seeded sampling is
-    stable and good enough for list pruning)."""
+    """Deterministic centroid init: hash-ordered sample of rows (Lloyd
+    refinement: refine_ivf_centroids). With ``order_col`` (an id
+    column) the sample order is ``xxhash64(id, seed)`` — cheap, and
+    exactly reproducible by an independent implementation (the literal
+    oracle generator); without it, the embedding's string rendering is
+    hashed."""
+    key = F.col(order_col) if order_col else F.col(emb_col).cast("string")
     rows = (
-        df.select(emb_col)
-        .orderBy(F.xxhash64(F.col(emb_col).cast("string"), F.lit(seed)))
+        df.orderBy(F.xxhash64(key, F.lit(seed)))
         .limit(n_centroids)
+        .select(emb_col)
         .collect()
     )
     return np.asarray([r[0] for r in rows], dtype=np.float64)
@@ -295,9 +303,10 @@ def ann_ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     if centroids is None:
-        centroids = build_ivf_centroids(df, n_centroids, emb_col, seed)
+        centroids = build_ivf_centroids(df, n_centroids, emb_col, seed, order_col)
     q = np.asarray(query_vec, dtype=np.float64)
     order = np.argsort(((centroids - q) ** 2).sum(axis=1))
     probe = [int(i) for i in order[:nprobe]]

@@ -103,22 +103,31 @@ def quality_score(col: Column) -> Column:
 
 
 # Modulus for the rolling-hash accumulator. Bounding acc < 2^31 keeps
-# every intermediate (31*acc + crc32 < 2^36 + 2^32) far from int64
+# every intermediate (31*acc + token_hash < 2^36 + 2^32) far from int64
 # overflow, so the expression is valid under ANSI-on sessions — the
-# driver gate runs Spark 4 ANSI defaults, where the previous
-# wrap-in-int64 formulation threw ARITHMETIC_OVERFLOW (round 1).
+# driver gate runs Spark 4 ANSI defaults, where a wrap-in-int64
+# formulation would throw ARITHMETIC_OVERFLOW (round 1).
 _FP_MOD = 2**31
+
+
+def token_hash32(col: Column) -> Column:
+    """32-bit per-token hash: the first 8 hex digits of md5 parsed as an
+    integer. md5 (not crc32/xxhash64) because it is the one keyed-input
+    hash BOTH Spark and DuckDB expose identically — the rolling
+    fingerprint stays fully SQL-oracle-checkable cross-engine
+    (DuckDB: CAST('0x' || substring(md5(w),1,8) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 8), 16, 10).cast("long")
 
 
 def rolling_fingerprint(col: Column) -> Column:
     """Polynomial rolling hash over tokens: acc = (acc*31 +
-    crc32(token)) mod 2^31 — order-sensitive (unlike a bag-of-words
-    hash), overflow-free by construction."""
+    token_hash32(token)) mod 2^31 — order-sensitive (unlike a
+    bag-of-words hash), overflow-free by construction."""
     return F.aggregate(
         words(col),
         F.lit(0).cast("long"),
         lambda acc, w: F.pmod(
-            acc * F.lit(31).cast("long") + F.crc32(F.encode(w, "UTF-8")).cast("long"),
+            acc * F.lit(31).cast("long") + token_hash32(w),
             F.lit(_FP_MOD).cast("long"),
         ),
     )

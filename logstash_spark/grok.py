@@ -207,6 +207,174 @@ CORE_PATTERNS: dict[str, str] = {
     "EXIM_PID": r"\[%{POSINT:pid}\]",
     # ---- postgresql stderr log prefix ----
     "POSTGRESQL": r"%{DATESTAMP:timestamp} %{TZ:tz} %{DATA:user_id} %{GREEDYDATA:connection_id} %{POSINT:pid}",
+    # ---- squid proxy access log (squid pattern file equivalent) ----
+    "SQUID3_STATUS": r"(?:%{POSINT:http_status}|0|000)",
+    "SQUID3": (
+        r"%{NUMBER:timestamp}\s+%{NUMBER:duration}\s%{IP:client_address}\s"
+        r"%{WORD:cache_result}/%{SQUID3_STATUS}\s%{INT:bytes:int}\s"
+        r"%{WORD:request_method}\s%{NOTSPACE:url}\s(?:%{NOTSPACE:user}|-)\s"
+        r"%{WORD:hierarchy_code}/%{NOTSPACE:server}\s%{NOTSPACE:content_type}"
+    ),
+    # ---- zeek / bro TSV logs (bro pattern file equivalents) ----
+    "BRO_BOOL": r"[TF]",
+    "BRO_DATA": r"[^\t]+",
+    "BRO_HTTP": (
+        r"%{NUMBER:ts}\t%{NOTSPACE:uid}\t%{IP:orig_h}\t%{INT:orig_p}\t%{IP:resp_h}\t%{INT:resp_p}\t"
+        r"%{INT:trans_depth}\t%{GREEDYDATA:method}\t%{GREEDYDATA:domain}\t%{GREEDYDATA:uri}\t"
+        r"%{GREEDYDATA:referrer}\t%{GREEDYDATA:user_agent}\t%{NUMBER:request_body_len}\t"
+        r"%{NUMBER:response_body_len}\t%{GREEDYDATA:status_code}\t%{GREEDYDATA:status_msg}\t"
+        r"%{GREEDYDATA:info_code}\t%{GREEDYDATA:info_msg}\t%{GREEDYDATA:filename}\t"
+        r"%{GREEDYDATA:bro_tags}\t%{GREEDYDATA:username}\t%{GREEDYDATA:password}\t"
+        r"%{GREEDYDATA:proxied}\t%{GREEDYDATA:orig_fuids}\t%{GREEDYDATA:orig_mime_types}\t"
+        r"%{GREEDYDATA:resp_fuids}\t%{GREEDYDATA:resp_mime_types}"
+    ),
+    "BRO_DNS": (
+        r"%{NUMBER:ts}\t%{NOTSPACE:uid}\t%{IP:orig_h}\t%{INT:orig_p}\t%{IP:resp_h}\t%{INT:resp_p}\t"
+        r"%{WORD:proto}\t%{INT:trans_id}\t%{GREEDYDATA:query}\t%{GREEDYDATA:qclass}\t"
+        r"%{GREEDYDATA:qclass_name}\t%{GREEDYDATA:qtype}\t%{GREEDYDATA:qtype_name}\t"
+        r"%{GREEDYDATA:rcode}\t%{GREEDYDATA:rcode_name}\t%{BRO_BOOL:AA}\t%{BRO_BOOL:TC}\t"
+        r"%{BRO_BOOL:RD}\t%{BRO_BOOL:RA}\t%{NONNEGINT:Z}\t%{GREEDYDATA:answers}\t"
+        r"%{GREEDYDATA:TTLs}\t%{BRO_BOOL:rejected}"
+    ),
+    "BRO_CONN": (
+        r"%{NUMBER:ts}\t%{NOTSPACE:uid}\t%{IP:orig_h}\t%{INT:orig_p}\t%{IP:resp_h}\t%{INT:resp_p}\t"
+        r"%{WORD:proto}\t%{GREEDYDATA:service}\t%{NUMBER:duration}\t%{NUMBER:orig_bytes}\t"
+        r"%{NUMBER:resp_bytes}\t%{GREEDYDATA:conn_state}\t%{GREEDYDATA:local_orig}\t"
+        r"%{GREEDYDATA:missed_bytes}\t%{GREEDYDATA:history}\t%{GREEDYDATA:orig_pkts}\t"
+        r"%{GREEDYDATA:orig_ip_bytes}\t%{GREEDYDATA:resp_pkts}\t%{GREEDYDATA:resp_ip_bytes}\t"
+        r"%{GREEDYDATA:tunnel_parents}"
+    ),
+    "BRO_FILES": (
+        r"%{NUMBER:ts}\t%{NOTSPACE:fuid}\t%{IP:tx_hosts}\t%{IP:rx_hosts}\t%{NOTSPACE:conn_uids}\t"
+        r"%{GREEDYDATA:source}\t%{GREEDYDATA:depth}\t%{GREEDYDATA:analyzers}\t"
+        r"%{GREEDYDATA:mime_type}\t%{GREEDYDATA:filename}\t%{GREEDYDATA:duration}\t"
+        r"%{GREEDYDATA:local_orig}\t%{GREEDYDATA:is_orig}\t%{GREEDYDATA:seen_bytes}\t"
+        r"%{GREEDYDATA:total_bytes}\t%{GREEDYDATA:missing_bytes}\t%{GREEDYDATA:overflow_bytes}\t"
+        r"%{GREEDYDATA:timedout}\t%{GREEDYDATA:parent_fuid}\t%{GREEDYDATA:md5}\t"
+        r"%{GREEDYDATA:sha1}\t%{GREEDYDATA:sha256}\t%{GREEDYDATA:extracted}"
+    ),
+    # ---- nagios core log (nagios pattern file equivalents) ----
+    "NAGIOS_TYPE_CURRENT_SERVICE_STATE": r"CURRENT SERVICE STATE",
+    "NAGIOS_TYPE_CURRENT_HOST_STATE": r"CURRENT HOST STATE",
+    "NAGIOS_TYPE_SERVICE_NOTIFICATION": r"SERVICE NOTIFICATION",
+    "NAGIOS_TYPE_HOST_NOTIFICATION": r"HOST NOTIFICATION",
+    "NAGIOS_TYPE_SERVICE_ALERT": r"SERVICE ALERT",
+    "NAGIOS_TYPE_HOST_ALERT": r"HOST ALERT",
+    "NAGIOS_TYPE_SERVICE_FLAPPING_ALERT": r"SERVICE FLAPPING ALERT",
+    "NAGIOS_TYPE_HOST_FLAPPING_ALERT": r"HOST FLAPPING ALERT",
+    "NAGIOS_TYPE_SERVICE_DOWNTIME_ALERT": r"SERVICE DOWNTIME ALERT",
+    "NAGIOS_TYPE_HOST_DOWNTIME_ALERT": r"HOST DOWNTIME ALERT",
+    "NAGIOS_TYPE_PASSIVE_SERVICE_CHECK": r"PASSIVE SERVICE CHECK",
+    "NAGIOS_TYPE_PASSIVE_HOST_CHECK": r"PASSIVE HOST CHECK",
+    "NAGIOS_TYPE_SERVICE_EVENT_HANDLER": r"SERVICE EVENT HANDLER",
+    "NAGIOS_TYPE_HOST_EVENT_HANDLER": r"HOST EVENT HANDLER",
+    "NAGIOS_TYPE_EXTERNAL_COMMAND": r"EXTERNAL COMMAND",
+    "NAGIOS_TYPE_TIMEPERIOD_TRANSITION": r"TIMEPERIOD TRANSITION",
+    "NAGIOS_EC_ENABLE_SVC_CHECK": r"ENABLE_SVC_CHECK",
+    "NAGIOS_EC_DISABLE_SVC_CHECK": r"DISABLE_SVC_CHECK",
+    "NAGIOS_EC_ENABLE_HOST_CHECK": r"ENABLE_HOST_CHECK",
+    "NAGIOS_EC_DISABLE_HOST_CHECK": r"DISABLE_HOST_CHECK",
+    "NAGIOS_EC_PROCESS_SERVICE_CHECK_RESULT": r"PROCESS_SERVICE_CHECK_RESULT",
+    "NAGIOS_EC_PROCESS_HOST_CHECK_RESULT": r"PROCESS_HOST_CHECK_RESULT",
+    "NAGIOS_EC_SCHEDULE_SERVICE_DOWNTIME": r"SCHEDULE_SERVICE_DOWNTIME",
+    "NAGIOS_EC_SCHEDULE_HOST_DOWNTIME": r"SCHEDULE_HOST_DOWNTIME",
+    "NAGIOS_WARNING": r"Warning:%{SPACE}%{GREEDYDATA:nagios_message}",
+    "NAGIOS_CURRENT_SERVICE_STATE": r"%{NAGIOS_TYPE_CURRENT_SERVICE_STATE:nagios_type}: %{DATA:nagios_hostname};%{DATA:nagios_service};%{DATA:nagios_state};%{DATA:nagios_statetype};%{DATA:nagios_statecode};%{GREEDYDATA:nagios_message}",
+    "NAGIOS_CURRENT_HOST_STATE": r"%{NAGIOS_TYPE_CURRENT_HOST_STATE:nagios_type}: %{DATA:nagios_hostname};%{DATA:nagios_state};%{DATA:nagios_statetype};%{DATA:nagios_statecode};%{GREEDYDATA:nagios_message}",
+    "NAGIOS_SERVICE_NOTIFICATION": r"%{NAGIOS_TYPE_SERVICE_NOTIFICATION:nagios_type}: %{DATA:nagios_notifyname};%{DATA:nagios_hostname};%{DATA:nagios_service};%{DATA:nagios_state};%{DATA:nagios_contact};%{GREEDYDATA:nagios_message}",
+    "NAGIOS_HOST_NOTIFICATION": r"%{NAGIOS_TYPE_HOST_NOTIFICATION:nagios_type}: %{DATA:nagios_notifyname};%{DATA:nagios_hostname};%{DATA:nagios_state};%{DATA:nagios_contact};%{GREEDYDATA:nagios_message}",
+    "NAGIOS_SERVICE_ALERT": r"%{NAGIOS_TYPE_SERVICE_ALERT:nagios_type}: %{DATA:nagios_hostname};%{DATA:nagios_service};%{DATA:nagios_state};%{DATA:nagios_statetype};%{DATA:nagios_attempt};%{GREEDYDATA:nagios_message}",
+    "NAGIOS_HOST_ALERT": r"%{NAGIOS_TYPE_HOST_ALERT:nagios_type}: %{DATA:nagios_hostname};%{DATA:nagios_state};%{DATA:nagios_statetype};%{DATA:nagios_attempt};%{GREEDYDATA:nagios_message}",
+    "NAGIOS_SERVICE_FLAPPING_ALERT": r"%{NAGIOS_TYPE_SERVICE_FLAPPING_ALERT:nagios_type}: %{DATA:nagios_hostname};%{DATA:nagios_service};%{DATA:nagios_state};%{GREEDYDATA:nagios_message}",
+    "NAGIOS_HOST_FLAPPING_ALERT": r"%{NAGIOS_TYPE_HOST_FLAPPING_ALERT:nagios_type}: %{DATA:nagios_hostname};%{DATA:nagios_state};%{GREEDYDATA:nagios_message}",
+    "NAGIOS_SERVICE_DOWNTIME_ALERT": r"%{NAGIOS_TYPE_SERVICE_DOWNTIME_ALERT:nagios_type}: %{DATA:nagios_hostname};%{DATA:nagios_service};%{DATA:nagios_state};%{GREEDYDATA:nagios_comment}",
+    "NAGIOS_HOST_DOWNTIME_ALERT": r"%{NAGIOS_TYPE_HOST_DOWNTIME_ALERT:nagios_type}: %{DATA:nagios_hostname};%{DATA:nagios_state};%{GREEDYDATA:nagios_comment}",
+    "NAGIOS_PASSIVE_SERVICE_CHECK": r"%{NAGIOS_TYPE_PASSIVE_SERVICE_CHECK:nagios_type}: %{DATA:nagios_hostname};%{DATA:nagios_service};%{DATA:nagios_state};%{GREEDYDATA:nagios_comment}",
+    "NAGIOS_PASSIVE_HOST_CHECK": r"%{NAGIOS_TYPE_PASSIVE_HOST_CHECK:nagios_type}: %{DATA:nagios_hostname};%{DATA:nagios_state};%{GREEDYDATA:nagios_comment}",
+    "NAGIOS_SERVICE_EVENT_HANDLER": r"%{NAGIOS_TYPE_SERVICE_EVENT_HANDLER:nagios_type}: %{DATA:nagios_hostname};%{DATA:nagios_service};%{DATA:nagios_state};%{DATA:nagios_statetype};%{DATA:nagios_event_handler_name}",
+    "NAGIOS_HOST_EVENT_HANDLER": r"%{NAGIOS_TYPE_HOST_EVENT_HANDLER:nagios_type}: %{DATA:nagios_hostname};%{DATA:nagios_state};%{DATA:nagios_statetype};%{DATA:nagios_event_handler_name}",
+    "NAGIOS_TIMEPERIOD_TRANSITION": r"%{NAGIOS_TYPE_TIMEPERIOD_TRANSITION:nagios_type}: %{DATA:nagios_service};%{NUMBER:nagios_unknown1};%{NUMBER:nagios_unknown2}",
+    "NAGIOS_EC_LINE_ENABLE_SVC_CHECK": r"%{NAGIOS_TYPE_EXTERNAL_COMMAND:nagios_type}: %{NAGIOS_EC_ENABLE_SVC_CHECK:nagios_command};%{DATA:nagios_hostname};%{DATA:nagios_service}",
+    "NAGIOS_EC_LINE_DISABLE_SVC_CHECK": r"%{NAGIOS_TYPE_EXTERNAL_COMMAND:nagios_type}: %{NAGIOS_EC_DISABLE_SVC_CHECK:nagios_command};%{DATA:nagios_hostname};%{DATA:nagios_service}",
+    "NAGIOS_EC_LINE_ENABLE_HOST_CHECK": r"%{NAGIOS_TYPE_EXTERNAL_COMMAND:nagios_type}: %{NAGIOS_EC_ENABLE_HOST_CHECK:nagios_command};%{DATA:nagios_hostname}",
+    "NAGIOS_EC_LINE_DISABLE_HOST_CHECK": r"%{NAGIOS_TYPE_EXTERNAL_COMMAND:nagios_type}: %{NAGIOS_EC_DISABLE_HOST_CHECK:nagios_command};%{DATA:nagios_hostname}",
+    "NAGIOS_EC_LINE_PROCESS_SERVICE_CHECK_RESULT": r"%{NAGIOS_TYPE_EXTERNAL_COMMAND:nagios_type}: %{NAGIOS_EC_PROCESS_SERVICE_CHECK_RESULT:nagios_command};%{DATA:nagios_hostname};%{DATA:nagios_service};%{DATA:nagios_check_result};%{GREEDYDATA:nagios_check_comment}",
+    "NAGIOS_EC_LINE_PROCESS_HOST_CHECK_RESULT": r"%{NAGIOS_TYPE_EXTERNAL_COMMAND:nagios_type}: %{NAGIOS_EC_PROCESS_HOST_CHECK_RESULT:nagios_command};%{DATA:nagios_hostname};%{DATA:nagios_check_result};%{GREEDYDATA:nagios_check_comment}",
+    "NAGIOS_EC_LINE_SCHEDULE_SERVICE_DOWNTIME": r"%{NAGIOS_TYPE_EXTERNAL_COMMAND:nagios_type}: %{NAGIOS_EC_SCHEDULE_SERVICE_DOWNTIME:nagios_command};%{DATA:nagios_hostname};%{DATA:nagios_service};%{NUMBER:nagios_start_time};%{NUMBER:nagios_end_time};%{NUMBER:nagios_fixed};%{NUMBER:nagios_trigger_id};%{NUMBER:nagios_duration};%{DATA:author};%{GREEDYDATA:comment}",
+    "NAGIOS_EC_LINE_SCHEDULE_HOST_DOWNTIME": r"%{NAGIOS_TYPE_EXTERNAL_COMMAND:nagios_type}: %{NAGIOS_EC_SCHEDULE_HOST_DOWNTIME:nagios_command};%{DATA:nagios_hostname};%{NUMBER:nagios_start_time};%{NUMBER:nagios_end_time};%{NUMBER:nagios_fixed};%{NUMBER:nagios_trigger_id};%{NUMBER:nagios_duration};%{DATA:author};%{GREEDYDATA:comment}",
+    "NAGIOSLOGLINE": (
+        r"%{NAGIOSTIME} (?:%{NAGIOS_WARNING}|%{NAGIOS_CURRENT_SERVICE_STATE}|"
+        r"%{NAGIOS_CURRENT_HOST_STATE}|%{NAGIOS_SERVICE_NOTIFICATION}|"
+        r"%{NAGIOS_HOST_NOTIFICATION}|%{NAGIOS_SERVICE_ALERT}|%{NAGIOS_HOST_ALERT}|"
+        r"%{NAGIOS_SERVICE_FLAPPING_ALERT}|%{NAGIOS_HOST_FLAPPING_ALERT}|"
+        r"%{NAGIOS_SERVICE_DOWNTIME_ALERT}|%{NAGIOS_HOST_DOWNTIME_ALERT}|"
+        r"%{NAGIOS_PASSIVE_SERVICE_CHECK}|%{NAGIOS_PASSIVE_HOST_CHECK}|"
+        r"%{NAGIOS_SERVICE_EVENT_HANDLER}|%{NAGIOS_HOST_EVENT_HANDLER}|"
+        r"%{NAGIOS_TIMEPERIOD_TRANSITION}|%{NAGIOS_EC_LINE_ENABLE_SVC_CHECK}|"
+        r"%{NAGIOS_EC_LINE_DISABLE_SVC_CHECK}|%{NAGIOS_EC_LINE_ENABLE_HOST_CHECK}|"
+        r"%{NAGIOS_EC_LINE_DISABLE_HOST_CHECK}|"
+        r"%{NAGIOS_EC_LINE_PROCESS_SERVICE_CHECK_RESULT}|"
+        r"%{NAGIOS_EC_LINE_PROCESS_HOST_CHECK_RESULT}|"
+        r"%{NAGIOS_EC_LINE_SCHEDULE_SERVICE_DOWNTIME}|"
+        r"%{NAGIOS_EC_LINE_SCHEDULE_HOST_DOWNTIME})"
+    ),
+    # ---- bind9 query log ----
+    "BIND9_TIMESTAMP": r"%{MONTHDAY}[-]%{MONTH}[-]%{YEAR} %{TIME}",
+    "BIND9": (
+        r"%{BIND9_TIMESTAMP:timestamp} queries: %{LOGLEVEL:loglevel}: client "
+        r"%{IP:clientip}#%{POSINT:clientport} \(%{GREEDYDATA:query}\): query: "
+        r"%{GREEDYDATA:query_2} IN %{GREEDYDATA:querytype} \(%{IP:dns}\)"
+    ),
+    # ---- bacula backup logs (bacula pattern file subset) ----
+    "BACULA_TIMESTAMP": r"%{MONTHDAY}-%{MONTH}(?:-%{YEAR})? %{HOUR}:%{MINUTE}",
+    "BACULA_HOST": r"[a-zA-Z0-9-]+",
+    "BACULA_VOLUME": r"%{USER}",
+    "BACULA_DEVICE": r"%{USER}",
+    "BACULA_DEVICEPATH": r"%{UNIXPATH}",
+    "BACULA_CAPACITY": r"%{INT}{1,3}(,%{INT}{3})*",
+    "BACULA_VERSION": r"%{USER}",
+    "BACULA_JOB": r"%{USER}",
+    "BACULA_LOG_MAX_CAPACITY": r"User defined maximum volume capacity %{BACULA_CAPACITY:max_capacity} exceeded on device \"%{BACULA_DEVICE:device}\" \(%{BACULA_DEVICEPATH}\).?",
+    "BACULA_LOG_END_VOLUME": r"End of medium on Volume \"%{BACULA_VOLUME:volume}\" Bytes=%{BACULA_CAPACITY} Blocks=%{BACULA_CAPACITY} at %{BACULA_TIMESTAMP}.",
+    "BACULA_LOG_NEW_VOLUME": r"Created new Volume \"%{BACULA_VOLUME:volume}\" in catalog.",
+    "BACULA_LOG_NEW_MOUNT": r"New volume \"%{BACULA_VOLUME:volume}\" mounted on device \"%{BACULA_DEVICE:device}\" \(%{BACULA_DEVICEPATH}\) at %{BACULA_TIMESTAMP}.",
+    "BACULA_LOG_NOOPEN": r"\s*Cannot open %{DATA}: ERR=%{GREEDYDATA:berror}",
+    "BACULA_LOG_NOJOBS": r"There are no more Jobs associated with Volume \"%{BACULA_VOLUME:volume}\". Marking it purged.",
+    "BACULA_LOG_BEGIN_PRUNE_JOBS": r"Begin pruning Jobs older than %{INT} month %{INT} days .",
+    "BACULA_LOG_BEGIN_PRUNE_FILES": r"Begin pruning Files.",
+    "BACULA_LOG_PRUNED_JOBS": r"Pruned %{INT} Jobs* for client %{BACULA_HOST:client} from catalog.",
+    "BACULA_LOG_PRUNED_FILES": r"Pruned Files from %{INT} Jobs* for client %{BACULA_HOST:client} from catalog.",
+    "BACULA_LOG_ENDPRUNE": r"End auto prune.",
+    "BACULA_LOG_STARTJOB": r"Start Backup JobId %{INT}, Job=%{BACULA_JOB:job}",
+    "BACULA_LOG_CANCELLING": r"Cancelling duplicate JobId=%{INT}.",
+    "BACULA_LOG_CLIENT_RBJ": r"shell command: run ClientRunBeforeJob \"%{GREEDYDATA:runjob}\"",
+    "BACULA_LOG_DUPLICATE": r"Fatal error: JobId %{INT:duplicate} already running. Duplicate job not allowed.",
+    "BACULA_LOG_NOPRUNE_JOBS": r"No Jobs found to prune.",
+    "BACULA_LOG_NOPRUNE_FILES": r"No Files found to prune.",
+    "BACULA_LOG_JOBEND": r"Job write elapsed time = %{DATA:elapsed}, Transfer rate = %{NUMBER} (K|M|G)? Bytes/second",
+    # ---- postfix queue ids (community postfix pattern names) ----
+    "POSTFIX_QUEUEID": r"(?:[0-9A-F]{6,}|[0-9a-zA-Z]{12,}|NOQUEUE)",
+    "POSTFIX_RELAY": r"%{HOSTNAME:relay_host}\[%{IP:relay_ip}\](?::%{POSINT:relay_port})?",
+    "POSTFIX_SMTP_DELIVERY": (
+        r"%{POSTFIX_QUEUEID:queue_id}: to=<%{EMAILADDRESS:to}>, relay=%{POSTFIX_RELAY}, "
+        r"delay=%{NUMBER:delay}, delays=%{DATA:delays}, dsn=%{DATA:dsn}, "
+        r"status=%{WORD:status} %{GREEDYDATA:smtp_response}"
+    ),
+    # ---- rails 3+ request logs (rails pattern file equivalents) ----
+    "RUUID": r"[a-fA-F0-9]{32}",
+    "RCONTROLLER": r"(?P<controller>[^#]+)#(?P<action>\w+)",
+    # (?m) dropped vs upstream: Python re requires global flags at
+    # expression start; no ^/$ anchors are used, so behavior is identical
+    "RAILS3HEAD": r"Started %{WORD:verb} \"%{URIPATHPARAM:request}\" for %{IPORHOST:clientip} at (?P<timestamp>%{YEAR}-%{MONTHNUM}-%{MONTHDAY} %{HOUR}:%{MINUTE}:%{SECOND} %{ISO8601_TIMEZONE})",
+    "RPROCESSING": r"\W*Processing by %{RCONTROLLER} as (?P<format>\S+)(?:\W*Parameters: {%{DATA:params}}\W*)?",
+    "RAILS3FOOT": r"Completed %{NUMBER:response}%{DATA} in %{NUMBER:totalms}ms %{RAILS3PROFILE}%{GREEDYDATA}",
+    "RAILS3PROFILE": r"(?:\(Views: %{NUMBER:viewms}ms \| ActiveRecord: %{NUMBER:activerecordms}ms|\(ActiveRecord: %{NUMBER:activerecordms}ms)?",
+    "RAILS3": r"%{RAILS3HEAD}(?:%{RPROCESSING})?(?P<context>(?:%{DATA}\n)*)(?:%{RAILS3FOOT})?",
+    # ---- redis monitor log ----
+    "REDISMONLOG": r"%{NUMBER:timestamp} \[%{INT:database} %{IP:client}:%{NUMBER:port}\] \"%{WORD:command}\"\s?%{GREEDYDATA:params}",
+    # ---- mcollective ----
+    "MCOLLECTIVEAUDIT": r"%{TIMESTAMP_ISO8601:timestamp}:",
+    "MCOLLECTIVE": r"., \[%{TIMESTAMP_ISO8601:timestamp} #%{POSINT:pid}\]%{SPACE}%{LOGLEVEL:event_level}",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
