@@ -95,26 +95,60 @@ def word_shingles(col, k: int = 3):
 
 
 # --------------------------------------------------------- MinHash + LSH
-def _perm_hasher(p: int):
-    """Closure factory — NOT a default-arg lambda: a 2-parameter lambda
-    handed to F.transform is called as fn(element, index), so
-    ``lambda s, p=p: ...`` silently binds p to the ARRAY INDEX and every
-    "permutation" degrades to one position-seeded hash (near-zero
-    near-dup recall; caught by the independent literal oracle)."""
-    return lambda s: F.xxhash64(s, F.lit(p))
+# Universal-hash modulus for the minhash permutations: the Mersenne
+# prime 2^31 - 1. 31-bit operands keep every intermediate
+# (a*h + b < 2^62 + 2^31) inside int64, so the affine rehash is safe
+# under ANSI-on sessions — no overflow possible by construction.
+_M31 = (1 << 31) - 1
 
 
-def minhash_signature(shingles_col, num_perm: int = 64):
-    """P minhashes: min over shingles of xxhash64(shingle, perm_seed).
+def _perm_coeffs(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Seeded affine coefficients (a_p, b_p), a_p != 0 — baked into the
+    plan as literals. Replicated verbatim by the oracle generator."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _M31, size=num_perm)
+    b = rng.integers(0, _M31, size=num_perm)
+    return [int(x) for x in a], [int(x) for x in b]
 
-    One native expression per permutation — Catalyst fuses the lot into
-    a single codegen'd projection.
+
+def minhash_signature(hashes_col, num_perm: int = 64, seed: int = 42):
+    """P minhashes by universal hashing over ONE base hash per shingle:
+    sig_p = min over shingles of (a_p * h31 + b_p) mod (2^31 - 1),
+    where h31 = xxhash64(shingle) mod (2^31 - 1).
+
+    Built as a SINGLE array traversal: an aggregate whose accumulator is
+    the 64-element running-min array, each step folding one shingle's 64
+    affine rehashes in via an elementwise zip_with/least. One expression
+    per ROW, not per permutation — P separate
+    ``array_min(transform(...))`` expressions each re-evaluate the whole
+    shingle/hash chain, because higher-order functions are interpreted
+    (CodegenFallback: no whole-stage-codegen subexpression elimination),
+    which measured ~6x slower at 64 perms. This is the standard MinHash
+    construction (datasketch-style (a*h+b) mod p); NOTE inner lambdas
+    here must be single-parameter — F.transform/zip_with call 2-param
+    lambdas as fn(element, index), the round-3 permutation-collapse bug.
+
+    ``hashes_col`` is the int64 shingle-hash array (the same array the
+    Jaccard verify uses), NOT the shingle strings.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles_col, _perm_hasher(p)))
-            for p in range(num_perm)
-        ]
+    a, b = _perm_coeffs(num_perm, seed)
+
+    def step(acc, h):
+        h31 = F.pmod(h, F.lit(_M31))
+        vals = F.array(
+            *[
+                F.pmod(h31 * F.lit(a[p]) + F.lit(b[p]), F.lit(_M31))
+                for p in range(num_perm)
+            ]
+        )
+        return F.zip_with(acc, vals, lambda x, y: F.least(x, y))
+
+    # identity: M31 exceeds every rehash value (range [0, M31-1]); the
+    # shingle array is never empty (word_shingles yields >= 1)
+    return F.aggregate(
+        hashes_col,
+        F.array_repeat(F.lit(_M31).cast("long"), num_perm),
+        step,
     )
 
 
@@ -132,15 +166,17 @@ def _minhash_base(
     df: DataFrame, id_col: str, text_col: str, num_perm: int, shingle_k: int
 ) -> DataFrame:
     """ONE scan computing both the verify set and the LSH signature:
-    (id, hs = int64 shingle hashes, sig = minhash signature). The 64
-    xxhash64-per-shingle signature is the expensive projection — it must
-    run once, not once for candidates and again for verify."""
+    (id, hs = int64 shingle hashes, sig = minhash signature). The
+    shingle strings are hashed exactly once — the signature is derived
+    from the SAME hash array the verify uses (universal rehash), so the
+    heavy string projection never runs twice."""
     sh = word_shingles(F.col(text_col), shingle_k)
     df = _spread(df)
+    hs = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
     return df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("hs"),
-        minhash_signature(sh, num_perm).alias("sig"),
+        hs.alias("hs"),
+        minhash_signature(hs, num_perm).alias("sig"),
     )
 
 

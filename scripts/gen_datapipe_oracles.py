@@ -68,16 +68,29 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
 
 
 # ------------------------------------------------------------- minhash
+_M31 = (1 << 31) - 1
+
+
+def _perm_coeffs(num_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _M31, size=num_perm)
+    b = rng.integers(0, _M31, size=num_perm)
+    return [int(x) for x in a], [int(x) for x in b]
+
+
 def minhash_kept(docs: list[tuple[int, str]], threshold=0.8, num_perm=64,
                  bands=16, hot_cap=32) -> list[int]:
     rows_per_band = num_perm // bands
+    pa, pb = _perm_coeffs(num_perm)
     hs: dict[int, frozenset[int]] = {}
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, text in docs:
         sh = word_shingles(text)
         base_hashes = [spark_xxhash64_str(s, 42) for s in sh]  # aligned to sh
-        hs[doc_id] = frozenset(dict.fromkeys(base_hashes))
-        sig = [min(spark_xxhash64_str_intseed(s, p) for s in sh)
+        hset = list(dict.fromkeys(base_hashes))
+        hs[doc_id] = frozenset(hset)
+        h31 = [h % _M31 for h in hset]  # Python % ≡ Spark pmod (nonneg)
+        sig = [min((pa[p] * h + pb[p]) % _M31 for h in h31)
                for p in range(num_perm)]
         for b in range(bands):
             key_str = ",".join(

@@ -48,27 +48,35 @@ def test_xxh64_matches_spark_long_col(spark):
 
 
 def test_minhash_permutations_are_distinct(spark):
-    """Regression: `lambda s, p=p:` inside F.transform binds p to the
+    """Regression: `lambda h, p=p:` inside F.transform binds p to the
     ARRAY INDEX (transform calls 2-param lambdas as fn(element, index)),
-    silently collapsing all 64 permutations into one position-seeded
-    hash — near-dup recall drops to ~zero. The signature must differ
-    across permutations and match the independent reimplementation."""
-    from logstash_spark.datapipe.dedup import minhash_signature, word_shingles
+    silently collapsing all permutations into one hash — near-dup
+    recall drops to ~zero. The signature must differ across
+    permutations and match the independent reimplementation of the
+    affine universal-hash construction."""
+    from logstash_spark.datapipe.dedup import (
+        _M31,
+        _perm_coeffs,
+        minhash_signature,
+        word_shingles,
+    )
 
-    df = spark.createDataFrame([("the quick brown fox jumps over the lazy dog",)],
-                               "text string")
-    sig = df.select(
-        minhash_signature(word_shingles(F.col("text"), 3), 8).alias("sig")
-    ).collect()[0]["sig"]
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame([(text,)], "text string")
+    hs = F.array_distinct(
+        F.transform(word_shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
+    )
+    sig = df.select(minhash_signature(hs, 8).alias("sig")).collect()[0]["sig"]
     assert len(set(sig)) > 1, "all permutations identical — index-bound seed"
 
     import re as _re
     shingles = []
-    ws = _re.split(r"\s+", "the quick brown fox jumps over the lazy dog")
+    ws = _re.split(r"\s+", text)
     for i in range(len(ws) - 2):
         s = " ".join(ws[i:i + 3])
         if s not in shingles:
             shingles.append(s)
-    expected = [min(spark_xxhash64_str_intseed(s, p) for s in shingles)
-                for p in range(8)]
+    a, b = _perm_coeffs(8)
+    h31 = [spark_xxhash64_str(s) % _M31 for s in dict.fromkeys(shingles)]
+    expected = [min((a[p] * h + b[p]) % _M31 for h in h31) for p in range(8)]
     assert list(sig) == expected
