@@ -133,17 +133,89 @@ def rolling_fingerprint(col: Column) -> Column:
     )
 
 
-def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _stats_vector(col: Column) -> Column:
+    """ONE traversal over the word array computing the 8-vector
+    [n_tokens, total_word_len, c_en, c_de, c_fr, c_es, c_it,
+    en_stop_hits] as an aggregate with an array accumulator.
+
+    The per-column functions above each re-split the text — and with
+    N of them in one projection the split/lower/trim chain runs N
+    times per row, because higher-order functions are interpreted
+    (CodegenFallback: no whole-stage-codegen subexpression
+    elimination) and CollapseProject re-inlines any staged column.
+    Folding every counter into one pass is the same fix minhash got
+    (see dedup.minhash_signature)."""
+    ws = words(col)
+
+    def step(acc, w):
+        flags = F.array(
+            F.lit(1).cast("long"),
+            F.length(w).cast("long"),
+            *[
+                w.isin(*LANG_MARKERS[lang]).cast("long")
+                for lang in LANG_MARKERS
+            ],
+            w.isin(*EN_STOPWORDS).cast("long"),
+        )
+        return F.zip_with(acc, flags, lambda x, y: x + y)
+
+    return F.aggregate(
+        ws, F.array_repeat(F.lit(0).cast("long"), 3 + len(LANG_MARKERS)), step
+    )
+
+
+def text_quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens / n_bpe_tokens / lang_detected / quality in ONE word
+    traversal per row: the stats vector is materialized through an
+    explode(array(...)) barrier — a Generate node, which projection
+    collapse cannot cross, so the fold runs once even though four
+    output columns consume it. Values are identical to the per-column
+    functions (integer sums are exact in either domain; divisions are
+    the same IEEE ops), so the DuckDB oracle is unchanged."""
     from .dedup import _spread
 
-    df = _spread(df)  # CPU-heavy projection — don't serialize on a tiny split count
     c = F.col(text_col)
+    df = _spread(df).withColumn("__tsv", F.explode(F.array(_stats_vector(c))))
+    v = F.col("__tsv")
+    n = F.element_at(v, 1)
+    total_len = F.element_at(v, 2)
+    counts = {
+        lang: F.element_at(v, i + 3) for i, lang in enumerate(LANG_MARKERS)
+    }
+    stop_hits = F.element_at(v, 3 + len(LANG_MARKERS))
+
+    best = None
+    best_cnt = None
+    for lang, cnt in counts.items():
+        if best is None:
+            best = F.when(cnt >= 1, F.lit(lang)).otherwise(F.lit("und"))
+            best_cnt = cnt
+        else:
+            cond = (cnt >= 1) & (cnt > best_cnt)
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_cnt = F.greatest(best_cnt, cnt)
+
+    n_tokens = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(n.cast("int"))
+    mwl = F.when(n > 0, total_len.cast("double") / n).otherwise(F.lit(0.0))
+    sr = F.when(n > 0, stop_hits / n).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(0.4)).otherwise(
+        F.when(n_tokens > 0, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    stop_ok = F.when(sr > 0.0, F.lit(0.1)).otherwise(F.lit(0.0))
+
     return df.withColumns(
         {
-            "n_tokens": whitespace_token_count(c),
+            "n_tokens": n_tokens,
             "n_bpe_tokens": bpe_ish_token_count(c),
-            "lang_detected": detect_language(c),
-            "quality": quality_score(c),
-            "fingerprint_rolling": rolling_fingerprint(c),
+            "lang_detected": best,
+            "quality": F.round(len_ok + mwl_ok + punct_ok + stop_ok, 2),
         }
+    ).drop("__tsv")
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return text_quality_stats(df, text_col).withColumn(
+        "fingerprint_rolling", rolling_fingerprint(F.col(text_col))
     )

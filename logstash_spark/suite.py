@@ -32,16 +32,7 @@ from pyspark.sql import functions as F
 from .conditions import compile_condition
 from .datapipe.dedup import exact_dedup, minhash_dedup, ngram_jaccard_pairs, simhash_dedup
 from .datapipe.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
-from .datapipe.textstats import (
-    BPE_ISH_REGEX,
-    EN_STOPWORDS,
-    LANG_MARKERS,
-    detect_language,
-    quality_score,
-    rolling_fingerprint,
-    whitespace_token_count,
-    bpe_ish_token_count,
-)
+from .datapipe.textstats import EN_STOPWORDS, LANG_MARKERS, rolling_fingerprint
 from . import suite_expected as _expected
 from .stages.base import apply_stage, build_stage
 
@@ -1112,17 +1103,14 @@ _TEXTSTATS_ORACLE = f"""
 
 @_q("textstats_quality", _TEXTSTATS_ORACLE)
 def textstats_quality(spark, sf_dir):
-    """language-ID + quality scoring + token counts — all native Columns."""
-    from .datapipe.dedup import _spread
+    """language-ID + quality scoring + token counts — all native, and
+    ONE word-array traversal per row (text_quality_stats: fused stats
+    vector behind an explode barrier; see PLANS.md round 3)."""
+    from .datapipe.textstats import text_quality_stats
 
-    docs = _spread(_t(spark, sf_dir, "documents"))
-    c = F.col("text")
-    return docs.select(
-        "doc_id",
-        whitespace_token_count(c).alias("n_tokens"),
-        bpe_ish_token_count(c).alias("n_bpe_tokens"),
-        detect_language(c).alias("lang_detected"),
-        quality_score(c).alias("quality"),
+    docs = _t(spark, sf_dir, "documents")
+    return text_quality_stats(docs).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "lang_detected", "quality"
     )
 
 
