@@ -375,6 +375,321 @@ CORE_PATTERNS: dict[str, str] = {
     # ---- mcollective ----
     "MCOLLECTIVEAUDIT": r"%{TIMESTAMP_ISO8601:timestamp}:",
     "MCOLLECTIVE": r"., \[%{TIMESTAMP_ISO8601:timestamp} #%{POSINT:pid}\]%{SPACE}%{LOGLEVEL:event_level}",
+    # ---- core long tail (grok-patterns file equivalents) ----
+    "URN": r"urn:[0-9A-Za-z][0-9A-Za-z-]{0,31}:(?:%[0-9A-Fa-f]{2}|[0-9A-Za-z()+,.:=@;$_!*'/?#-])+",
+    "SYSLOG5424PRINTASCII": r"[!-~]+",
+    # httpd aliases + 2.4 error log (httpd pattern file equivalents)
+    "HTTPD_COMMONLOG": r"%{COMMONAPACHELOG}",
+    "HTTPD_COMBINEDLOG": r"%{COMBINEDAPACHELOG}",
+    "HTTPD24_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[(?:%{WORD:module})?:%{LOGLEVEL:loglevel}\] "
+        r"\[pid %{POSINT:pid}(?::tid %{INT:tid})?\]"
+        r"(?: \(%{POSINT:proxy_errorcode}\)%{DATA:proxy_message}:)?"
+        r"(?: \[client %{IPORHOST:clientip}:%{POSINT:clientport}\])?"
+        r"(?: %{DATA:errorcode}:)? %{GREEDYDATA:message}"
+    ),
+    "HTTPD_ERRORLOG": r"(?:%{HTTPD20_ERRORLOG}|%{HTTPD24_ERRORLOG})",
+    # ---- maven ----
+    "MAVEN_VERSION": r"(?:(\d+)\.)?(?:(\d+)\.)?(\*|\d+)(?:[.-](?:RELEASE|SNAPSHOT))?",
+    # ---- haproxy tcp frontend log ----
+    "HAPROXYTCP": (
+        r"(?:%{SYSLOGTIMESTAMP:syslog_timestamp}|%{TIMESTAMP_ISO8601:timestamp8601}) "
+        r"%{IPORHOST:syslog_server} %{SYSLOGPROG}: %{IP:client_ip}:%{INT:client_port} "
+        r"\[%{HAPROXYDATE:accept_date}\] %{NOTSPACE:frontend_name} "
+        r"%{NOTSPACE:backend_name}/%{NOTSPACE:server_name} "
+        r"%{INT:time_queue}/%{INT:time_backend_connect}/%{NOTSPACE:time_duration} "
+        r"%{NOTSPACE:bytes_read} %{NOTSPACE:termination_state} "
+        r"%{INT:actconn}/%{INT:feconn}/%{INT:beconn}/%{INT:srvconn}/%{NOTSPACE:retries} "
+        r"%{INT:srv_queue}/%{INT:backend_queue}"
+    ),
+    # ---- aws cloudfront (tab-separated access log) ----
+    "CLOUDFRONT_ACCESS_LOG": (
+        r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}\t%{TIME}\t%{WORD:x_edge_location}\t"
+        r"(?:%{NUMBER:sc_bytes}|-)\t%{IPORHOST:clientip}\t%{WORD:cs_method}\t"
+        r"%{HOSTNAME:cs_host}\t%{NOTSPACE:cs_uri_stem}\t%{NUMBER:sc_status}\t"
+        r"%{DATA:referrer}\t%{DATA:agent}\t%{DATA:cs_uri_query}\t%{DATA:cookies}\t"
+        r"%{WORD:x_edge_result_type}\t%{NOTSPACE:x_edge_request_id}\t"
+        r"%{HOSTNAME:x_host_header}\t%{URIPROTO:cs_protocol}\t(?:%{INT:cs_bytes}|-)\t"
+        r"%{DATA:time_taken}\t%{DATA:x_forwarded_for}\t%{DATA:ssl_protocol}\t"
+        r"%{DATA:ssl_cipher}\t%{GREEDYDATA:x_edge_response_result_type}"
+    ),
+    # ---- mongodb 2.x (mongodb pattern file equivalents) ----
+    "MONGO_WORDDASH": r"\b[\w-]+\b",
+    "MONGO_LOG": r"%{SYSLOGTIMESTAMP:timestamp} \[%{WORD:component}\] %{GREEDYDATA:message}",
+    "MONGO_QUERY": r"\{ (?<=\{ ).*(?= \} ntoreturn:) \}",
+    "MONGO_SLOWQUERY": (
+        r"%{WORD} %{MONGO_WORDDASH:database}\.%{MONGO_WORDDASH:collection} %{WORD}: "
+        r"%{MONGO_QUERY:query} %{WORD}:%{NONNEGINT:ntoreturn} %{WORD}:%{NONNEGINT:ntoskip} "
+        r"%{WORD}:%{NONNEGINT:nscanned}.*? nreturned:%{NONNEGINT:nreturned}.*? %{INT:duration}ms"
+    ),
+    # ---- exim long tail ----
+    "EXIM_QT": r"((\d+y)?(\d+w)?(\d+d)?(\d+h)?(\d+m)?(\d+s)?)",
+    "EXIM_EXCLUDE_TERMS": (
+        r"(Message is frozen|(Start|End) queue run| Warning: | retry time not reached "
+        r"| no (IP address|host name) found for (IP address|host) "
+        r"| unexpected disconnection while reading SMTP command from "
+        r"| no immediate delivery: |another process is handling this message)"
+    ),
+    "EXIM_REMOTE_HOST": r"(H=(%{NOTSPACE:remote_hostname} )?(\(%{NOTSPACE:remote_heloname}\) )?\[%{IP:remote_host}\])",
+    "EXIM_INTERFACE": r"(I=\[%{IP:exim_interface}\](:%{NUMBER:exim_interface_port}))",
+    "EXIM_PROTOCOL": r"(P=%{NOTSPACE:protocol})",
+    "EXIM_MSG_SIZE": r"(S=%{NUMBER:exim_msg_size})",
+    "EXIM_HEADER_ID": r"(id=%{NOTSPACE:exim_header_id})",
+    "EXIM_SUBJECT": r"(T=%{QS:exim_subject})",
+    # ---- juniper junos RT_FLOW (junos pattern file equivalents) ----
+    "RT_FLOW_EVENT": r"(RT_FLOW_SESSION_CREATE|RT_FLOW_SESSION_CLOSE|RT_FLOW_SESSION_DENY)",
+    "RT_FLOW1": (
+        r"%{RT_FLOW_EVENT:event}: %{GREEDYDATA:close_reason}: "
+        r"%{IP:src_ip}/%{INT:src_port}->%{IP:dst_ip}/%{INT:dst_port} %{DATA:service} "
+        r"%{IP:nat_src_ip}/%{INT:nat_src_port}->%{IP:nat_dst_ip}/%{INT:nat_dst_port} "
+        r"%{DATA:src_nat_rule_name} %{DATA:dst_nat_rule_name} %{INT:protocol_id} "
+        r"%{DATA:policy_name} %{DATA:from_zone} %{DATA:to_zone} %{INT:session_id} "
+        r"\d+\(%{DATA:sent}\) \d+\(%{DATA:received}\) %{INT:elapsed_time} .*"
+    ),
+    "RT_FLOW2": (
+        r"%{RT_FLOW_EVENT:event}: session created "
+        r"%{IP:src_ip}/%{INT:src_port}->%{IP:dst_ip}/%{INT:dst_port} %{DATA:service} "
+        r"%{IP:nat_src_ip}/%{INT:nat_src_port}->%{IP:nat_dst_ip}/%{INT:nat_dst_port} "
+        r"%{DATA:src_nat_rule_name} %{DATA:dst_nat_rule_name} %{INT:protocol_id} "
+        r"%{DATA:policy_name} %{DATA:from_zone} %{DATA:to_zone} %{INT:session_id} .*"
+    ),
+    "RT_FLOW3": (
+        r"%{RT_FLOW_EVENT:event}: session denied "
+        r"%{IP:src_ip}/%{INT:src_port}->%{IP:dst_ip}/%{INT:dst_port} %{DATA:service} "
+        r"%{INT:protocol_id}\(\d\) %{DATA:policy_name} %{DATA:from_zone} %{DATA:to_zone} .*"
+    ),
+    # ---- firewalls: cisco ASA syslog (firewalls pattern file equivalents;
+    # message bodies written fresh from the published ASA syslog message
+    # format catalogue) ----
+    "CISCOTIMESTAMP": r"%{MONTH} +%{MONTHDAY}(?: %{YEAR})? %{TIME}",
+    "CISCOTAG": r"[A-Z0-9]+-%{INT}-(?:[A-Z0-9_]+)",
+    "CISCO_TAGGED_SYSLOG": r"^<%{POSINT:syslog_pri}>%{CISCOTIMESTAMP:timestamp}( %{SYSLOGHOST:sysloghost})? ?: %%{CISCOTAG:ciscotag}:",
+    "CISCO_ACTION": r"(?:Built|Teardown|Deny|Denied|denied|requested|permitted|denied by ACL|discarded|est-allowed|Dropping|created|deleted)",
+    "CISCO_REASON": r"(?:Duplicate TCP SYN|Failed to locate egress interface|Invalid transport field|No matching connection|DNS Response|DNS Query|(?:%{WORD}\s*)*)",
+    "CISCO_DIRECTION": r"(?:Inbound|inbound|Outbound|outbound)",
+    "CISCO_INTERVAL": r"(?:first hit|%{INT}-second interval)",
+    "CISCO_XLATE_TYPE": r"(?:static|dynamic)",
+    "CISCOFW104001": r"\((?:Primary|Secondary)\) Switching to ACTIVE - %{GREEDYDATA:switch_reason}",
+    "CISCOFW104002": r"\((?:Primary|Secondary)\) Switching to STANDBY - %{GREEDYDATA:switch_reason}",
+    "CISCOFW104003": r"\((?:Primary|Secondary)\) Switching to FAILED\.",
+    "CISCOFW104004": r"\((?:Primary|Secondary)\) Switching to OK\.",
+    "CISCOFW105003": r"\((?:Primary|Secondary)\) Monitoring on [Ii]nterface %{GREEDYDATA:interface_name} waiting",
+    "CISCOFW105004": r"\((?:Primary|Secondary)\) Monitoring on [Ii]nterface %{GREEDYDATA:interface_name} normal",
+    "CISCOFW105005": r"\((?:Primary|Secondary)\) Lost Failover communications with mate on [Ii]nterface %{GREEDYDATA:interface_name}",
+    "CISCOFW105008": r"\((?:Primary|Secondary)\) Testing [Ii]nterface %{GREEDYDATA:interface_name}",
+    "CISCOFW105009": r"\((?:Primary|Secondary)\) Testing on [Ii]nterface %{GREEDYDATA:interface_name} (?:Passed|Failed)",
+    "CISCOFW106001": (
+        r"%{CISCO_DIRECTION:direction} %{WORD:protocol} connection %{CISCO_ACTION:action} "
+        r"from %{IP:src_ip}/%{INT:src_port} to %{IP:dst_ip}/%{INT:dst_port} "
+        r"flags %{GREEDYDATA:tcp_flags} on interface %{GREEDYDATA:interface}"
+    ),
+    "CISCOFW106006_106007_106010": (
+        r"%{CISCO_ACTION:action} %{CISCO_DIRECTION:direction} %{WORD:protocol} "
+        r"(?:from|src) %{IP:src_ip}/%{INT:src_port}(\(%{DATA:src_fwuser}\))? "
+        r"(?:to|dst) %{IP:dst_ip}/%{INT:dst_port}(\(%{DATA:dst_fwuser}\))? "
+        r"(?:(?:on interface %{DATA:interface})|(?:due to %{CISCO_REASON:reason}))"
+    ),
+    "CISCOFW106014": (
+        r"%{CISCO_ACTION:action} %{CISCO_DIRECTION:direction} %{WORD:protocol} "
+        r"src %{DATA:src_interface}:%{IP:src_ip}(\(%{DATA:src_fwuser}\))? "
+        r"dst %{DATA:dst_interface}:%{IP:dst_ip}(\(%{DATA:dst_fwuser}\))? "
+        r"\(type %{INT:icmp_type}, code %{INT:icmp_code}\)"
+    ),
+    "CISCOFW106015": (
+        r"%{CISCO_ACTION:action} %{WORD:protocol} \(%{DATA:policy_id}\) "
+        r"from %{IP:src_ip}/%{INT:src_port} to %{IP:dst_ip}/%{INT:dst_port} "
+        r"flags %{DATA:tcp_flags}  on interface %{GREEDYDATA:interface}"
+    ),
+    "CISCOFW106021": (
+        r"%{CISCO_ACTION:action} %{WORD:protocol} reverse path check "
+        r"from %{IP:src_ip} to %{IP:dst_ip} on interface %{GREEDYDATA:interface}"
+    ),
+    "CISCOFW106023": (
+        r"%{CISCO_ACTION:action}(?: protocol)? %{WORD:protocol} "
+        r"src %{DATA:src_interface}:%{DATA:src_ip}(/%{INT:src_port})?(\(%{DATA:src_fwuser}\))? "
+        r"dst %{DATA:dst_interface}:%{DATA:dst_ip}(/%{INT:dst_port})?(\(%{DATA:dst_fwuser}\))?"
+        r"( \(type %{INT:icmp_type}, code %{INT:icmp_code}\))? "
+        r"by access-group \"?%{DATA:policy_id}\"? \[%{DATA:hashcode1}, %{DATA:hashcode2}\]"
+    ),
+    "CISCOFW106100_2_3": (
+        r"access-list %{NOTSPACE:policy_id} %{CISCO_ACTION:action} %{WORD:protocol} "
+        r"for user '%{DATA:src_fwuser}' %{DATA:src_interface}/%{IP:src_ip}\(%{INT:src_port}\) "
+        r"-> %{DATA:dst_interface}/%{IP:dst_ip}\(%{INT:dst_port}\) "
+        r"hit-cnt %{INT:hit_count} %{CISCO_INTERVAL:interval} \[%{DATA:hashcode1}, %{DATA:hashcode2}\]"
+    ),
+    "CISCOFW106100": (
+        r"access-list %{NOTSPACE:policy_id} %{CISCO_ACTION:action} %{WORD:protocol} "
+        r"%{DATA:src_interface}/%{IP:src_ip}\(%{INT:src_port}\)(\(%{DATA:src_fwuser}\))? "
+        r"-> %{DATA:dst_interface}/%{IP:dst_ip}\(%{INT:dst_port}\)(\(%{DATA:dst_fwuser}\))? "
+        r"hit-cnt %{INT:hit_count} %{CISCO_INTERVAL:interval} \[%{DATA:hashcode1}, %{DATA:hashcode2}\]"
+    ),
+    "CISCOFW304001": r"%{IP:src_ip}(\(%{DATA:src_fwuser}\))? Accessed URL %{IP:dst_ip}:%{GREEDYDATA:dst_url}",
+    "CISCOFW110002": (
+        r"%{CISCO_REASON:reason} for %{WORD:protocol} from %{DATA:src_interface}:"
+        r"%{IP:src_ip}/%{INT:src_port} to %{IP:dst_ip}/%{INT:dst_port}"
+    ),
+    "CISCOFW302010": r"%{INT:connection_count} in use, %{INT:connection_count_max} most used",
+    "CISCOFW302013_302014_302015_302016": (
+        r"%{CISCO_ACTION:action}(?: %{CISCO_DIRECTION:direction})? %{WORD:protocol} connection "
+        r"%{INT:connection_id} for %{DATA:src_interface}:%{IP:src_ip}/%{INT:src_port}"
+        r"( \(%{IP:src_mapped_ip}/%{INT:src_mapped_port}\))?(\(%{DATA:src_fwuser}\))? to "
+        r"%{DATA:dst_interface}:%{IP:dst_ip}/%{INT:dst_port}"
+        r"( \(%{IP:dst_mapped_ip}/%{INT:dst_mapped_port}\))?(\(%{DATA:dst_fwuser}\))?"
+        r"( duration %{TIME:duration} bytes %{INT:bytes})?(?: %{CISCO_REASON:reason})?"
+        r"( \(%{DATA:user}\))?"
+    ),
+    "CISCOFW302020_302021": (
+        r"%{CISCO_ACTION:action}(?: %{CISCO_DIRECTION:direction})? %{WORD:protocol} connection "
+        r"for faddr %{IP:dst_ip}/%{INT:icmp_seq_num}(?:\(%{DATA:fwuser}\))? "
+        r"gaddr %{IP:src_xlated_ip}/%{INT:icmp_code_xlated} "
+        r"laddr %{IP:src_ip}/%{INT:icmp_code}( \(%{DATA:user}\))?"
+    ),
+    "CISCOFW305011": (
+        r"%{CISCO_ACTION:action} %{CISCO_XLATE_TYPE:xlate_type} %{WORD:protocol} translation "
+        r"from %{DATA:src_interface}:%{IP:src_ip}(/%{INT:src_port})?(\(%{DATA:src_fwuser}\))? "
+        r"to %{DATA:src_xlated_interface}:%{IP:src_xlated_ip}/%{DATA:src_xlated_port}"
+    ),
+    "CISCOFW313001_313004_313008": (
+        r"%{CISCO_ACTION:action} %{WORD:protocol} type=%{INT:icmp_type}, code=%{INT:icmp_code} "
+        r"from %{IP:src_ip} on interface %{DATA:interface}( to %{IP:dst_ip})?"
+    ),
+    "CISCOFW313005": (
+        r"%{CISCO_REASON:reason} for %{WORD:protocol} error message: %{WORD:err_protocol} "
+        r"src %{DATA:err_src_interface}:%{IP:err_src_ip}(\(%{DATA:err_src_fwuser}\))? "
+        r"dst %{DATA:err_dst_interface}:%{IP:err_dst_ip}(\(%{DATA:err_dst_fwuser}\))? "
+        r"\(type %{INT:err_icmp_type}, code %{INT:err_icmp_code}\) on %{DATA:interface} interface\."
+        r"  Original IP payload: %{WORD:protocol2} "
+        r"src %{IP:orig_src_ip}/%{INT:orig_src_port}(\(%{DATA:orig_src_fwuser}\))? "
+        r"dst %{IP:orig_dst_ip}/%{INT:orig_dst_port}(\(%{DATA:orig_dst_fwuser}\))?"
+    ),
+    "CISCOFW321001": r"Resource '%{WORD:resource_name}' limit of %{POSINT:resource_limit} reached for system",
+    "CISCOFW402117": (
+        r"%{WORD:protocol}: Received a non-IPSec packet \(protocol= %{WORD:orig_protocol}\) "
+        r"from %{IP:src_ip} to %{IP:dst_ip}"
+    ),
+    "CISCOFW402119": (
+        r"%{WORD:protocol}: Received an %{WORD:orig_protocol} packet "
+        r"\(SPI= %{DATA:spi}, sequence number= %{DATA:seq_num}\) from %{IP:src_ip} "
+        r"\(user= %{DATA:user}\) to %{IP:dst_ip} that failed anti-replay checking"
+    ),
+    "CISCOFW419001": (
+        r"%{CISCO_ACTION:action} %{WORD:protocol} packet from %{DATA:src_interface}:"
+        r"%{IP:src_ip}/%{INT:src_port} to %{DATA:dst_interface}:%{IP:dst_ip}/%{INT:dst_port}, "
+        r"reason: %{GREEDYDATA:reason}"
+    ),
+    "CISCOFW419002": (
+        r"%{CISCO_REASON:reason} from %{DATA:src_interface}:%{IP:src_ip}/%{INT:src_port} "
+        r"to %{DATA:dst_interface}:%{IP:dst_ip}/%{INT:dst_port} "
+        r"with different initial sequence number"
+    ),
+    "CISCOFW500004": (
+        r"%{CISCO_REASON:reason} for protocol=%{WORD:protocol}, "
+        r"from %{IP:src_ip}/%{INT:src_port} to %{IP:dst_ip}/%{INT:dst_port}"
+    ),
+    "CISCOFW602303_602304": (
+        r"%{WORD:protocol}: An %{CISCO_DIRECTION:direction} %{DATA:tunnel_type} SA "
+        r"\(SPI= %{DATA:spi}\) between %{IP:src_ip} and %{IP:dst_ip} \(user= %{DATA:user}\) "
+        r"has been %{CISCO_ACTION:action}"
+    ),
+    "CISCOFW710001_710002_710003_710005_710006": (
+        r"%{WORD:protocol} (?:request|access) %{CISCO_ACTION:action} from "
+        r"%{IP:src_ip}/%{INT:src_port} to %{DATA:dst_interface}:%{IP:dst_ip}/%{INT:dst_port}"
+    ),
+    "CISCOFW713172": (
+        r"Group = %{DATA:group}, IP = %{IP:src_ip}, Automatic NAT Detection Status:\s+"
+        r"Remote end\s*%{DATA:is_remote_natted}\s*behind a NAT device\s+"
+        r"This\s+end\s*%{DATA:is_local_natted}\s*behind a NAT device"
+    ),
+    "CISCOFW733100": (
+        r"\[\s*%{DATA:drop_type}\s*\] drop %{DATA:drop_rate_id} exceeded. "
+        r"Current burst rate is %{INT:drop_rate_current_burst} per second, "
+        r"max configured rate is %{INT:drop_rate_max_burst}; "
+        r"Current average rate is %{INT:drop_rate_current_avg} per second, "
+        r"max configured rate is %{INT:drop_rate_max_avg}; "
+        r"Cumulative total count is %{INT:drop_total_count}"
+    ),
+    # ---- firewalls: netfilter front-ends ----
+    "NETSCREENSESSIONLOG": (
+        r"%{SYSLOGTIMESTAMP:date} %{IPORHOST:device} %{IPORHOST}: "
+        r"NetScreen device_id=%{WORD:device_id}%{DATA}: "
+        r"start_time=%{QUOTEDSTRING:start_time} duration=%{INT:duration} "
+        r"policy_id=%{INT:policy_id} service=%{DATA:service} proto=%{INT:proto} "
+        r"src zone=%{WORD:src_zone} dst zone=%{WORD:dst_zone} action=%{WORD:action} "
+        r"sent=%{INT:sent} rcvd=%{INT:rcvd} src=%{IPORHOST:src_ip} dst=%{IPORHOST:dst_ip}"
+        r"(?: src_port=%{INT:src_port} dst_port=%{INT:dst_port})?"
+        r"(?: src-xlated ip=%{IP:src_xlated_ip} port=%{INT:src_xlated_port} "
+        r"dst-xlated ip=%{IP:dst_xlated_ip} port=%{INT:dst_xlated_port})?"
+        r"(?: session_id=%{INT:session_id} reason=%{GREEDYDATA:reason})?"
+    ),
+    "SHOREWALL": (
+        r"(?:%{SYSLOGTIMESTAMP:timestamp}) (?:%{WORD:nf_host}) .*Shorewall:"
+        r"(?:%{WORD:nf_action1})?:(?:%{WORD:nf_action2})?.*"
+        r"IN=(?:%{NOTSPACE:nf_in_interface})?.*OUT= *"
+        r"MAC=(?:%{NOTSPACE:nf_dst_mac}):(?:%{NOTSPACE:nf_src_mac})?.*"
+        r"SRC=(?:%{IPV4:nf_src_ip}).*DST=(?:%{IPV4:nf_dst_ip}).*"
+        r"LEN=(?:%{WORD:nf_len}).*?TOS=(?:%{WORD:nf_tos}).*?PREC=(?:%{WORD:nf_prec}).*?"
+        r"TTL=(?:%{INT:nf_ttl}).*?ID=(?:%{INT:nf_id}).*?PROTO=(?:%{WORD:nf_protocol})"
+        r"(?:.*?SPT=(?:%{INT:nf_src_port}).*?DPT=(?:%{INT:nf_dst_port}).*)?"
+    ),
+    "SFW2": (
+        r"((?:%{SYSLOGTIMESTAMP})|(?:%{TIMESTAMP_ISO8601}))\s*%{HOSTNAME}\s*kernel\S+\s*"
+        r"%{NAGIOSTIME}\s*SFW2-INext-%{NOTSPACE:nf_action}\s*IN=%{USERNAME:nf_in_interface}.*"
+        r"OUT=(?:%{USERNAME:nf_out_interface})?\s*"
+        r"MAC=(?:%{COMMONMAC:nf_dst_mac}:%{COMMONMAC:nf_src_mac})?.*"
+        r"SRC=%{IP:nf_src_ip}\s*DST=%{IP:nf_dst_ip}.*PROTO=%{WORD:nf_protocol}"
+        r"(?:.*SPT=%{INT:nf_src_port}.*DPT=%{INT:nf_dst_port}.*)?"
+    ),
+    # ---- nagios external-command long tail (notification toggles) ----
+    "NAGIOS_EC_ENABLE_SVC_NOTIFICATIONS": r"ENABLE_SVC_NOTIFICATIONS",
+    "NAGIOS_EC_DISABLE_SVC_NOTIFICATIONS": r"DISABLE_SVC_NOTIFICATIONS",
+    "NAGIOS_EC_ENABLE_HOST_NOTIFICATIONS": r"ENABLE_HOST_NOTIFICATIONS",
+    "NAGIOS_EC_DISABLE_HOST_NOTIFICATIONS": r"DISABLE_HOST_NOTIFICATIONS",
+    "NAGIOS_EC_ENABLE_HOST_SVC_NOTIFICATIONS": r"ENABLE_HOST_SVC_NOTIFICATIONS",
+    "NAGIOS_EC_DISABLE_HOST_SVC_NOTIFICATIONS": r"DISABLE_HOST_SVC_NOTIFICATIONS",
+    "NAGIOS_EC_LINE_ENABLE_SVC_NOTIFICATIONS": r"%{NAGIOS_TYPE_EXTERNAL_COMMAND:nagios_type}: %{NAGIOS_EC_ENABLE_SVC_NOTIFICATIONS:nagios_command};%{DATA:nagios_hostname};%{GREEDYDATA:nagios_service}",
+    "NAGIOS_EC_LINE_DISABLE_SVC_NOTIFICATIONS": r"%{NAGIOS_TYPE_EXTERNAL_COMMAND:nagios_type}: %{NAGIOS_EC_DISABLE_SVC_NOTIFICATIONS:nagios_command};%{DATA:nagios_hostname};%{GREEDYDATA:nagios_service}",
+    "NAGIOS_EC_LINE_ENABLE_HOST_NOTIFICATIONS": r"%{NAGIOS_TYPE_EXTERNAL_COMMAND:nagios_type}: %{NAGIOS_EC_ENABLE_HOST_NOTIFICATIONS:nagios_command};%{GREEDYDATA:nagios_hostname}",
+    "NAGIOS_EC_LINE_DISABLE_HOST_NOTIFICATIONS": r"%{NAGIOS_TYPE_EXTERNAL_COMMAND:nagios_type}: %{NAGIOS_EC_DISABLE_HOST_NOTIFICATIONS:nagios_command};%{GREEDYDATA:nagios_hostname}",
+    "NAGIOS_EC_LINE_ENABLE_HOST_SVC_NOTIFICATIONS": r"%{NAGIOS_TYPE_EXTERNAL_COMMAND:nagios_type}: %{NAGIOS_EC_ENABLE_HOST_SVC_NOTIFICATIONS:nagios_command};%{GREEDYDATA:nagios_hostname}",
+    "NAGIOS_EC_LINE_DISABLE_HOST_SVC_NOTIFICATIONS": r"%{NAGIOS_TYPE_EXTERNAL_COMMAND:nagios_type}: %{NAGIOS_EC_DISABLE_HOST_SVC_NOTIFICATIONS:nagios_command};%{GREEDYDATA:nagios_hostname}",
+    # ---- bacula long tail ----
+    "BACULA_LOG_NEW_LABEL": r"Labeled new Volume \"%{BACULA_VOLUME:volume}\" on device \"%{BACULA_DEVICE:device}\" \(%{BACULA_DEVICEPATH}\).",
+    "BACULA_LOG_WROTE_LABEL": r"Wrote label to prelabeled Volume \"%{BACULA_VOLUME:volume}\" on device \"%{BACULA_DEVICE}\" \(%{BACULA_DEVICEPATH}\)",
+    "BACULA_LOG_NOOPENDIR": r"\s*Could not open directory %{DATA:directory}: ERR=%{GREEDYDATA:berror}",
+    "BACULA_LOG_NOSTAT": r"\s*Could not stat %{DATA:filename}: ERR=%{GREEDYDATA:berror}",
+    "BACULA_LOG_ALL_RECORDS_PRUNED": r"All records pruned from Volume \"%{BACULA_VOLUME:volume}\"; marking it \"Purged\"",
+    "BACULA_LOG_STARTRESTORE": r"Start Restore Job %{BACULA_JOB:job}",
+    "BACULA_LOG_USEDEVICE": r"Using Device \"%{BACULA_DEVICE:device}\"",
+    "BACULA_LOG_DIFF_FS": r"\s*%{UNIXPATH} is a different filesystem. Will not descend from %{UNIXPATH} into it.",
+    "BACULA_LOG_VOLUME_PREVWRITTEN": r"Volume \"%{BACULA_VOLUME:volume}\" previously written, moving to end of data.",
+    "BACULA_LOG_READYAPPEND": r"Ready to append to end of Volume \"%{BACULA_VOLUME:volume}\" size=%{INT}",
+    "BACULA_LOG_MARKCANCEL": r"JobId %{INT:job_id}, Job %{BACULA_JOB:job} marked to be canceled.",
+    "BACULA_LOG_VSS": r"(Generate )?VSS (Writer)?",
+    "BACULA_LOG_MAXSTART": r"Fatal error: Job canceled because max start delay time exceeded.",
+    "BACULA_LOG_NOJOBSTAT": r"Fatal error: No Job status returned from FD.",
+    "BACULA_LOG_FATAL_CONN": r"Fatal error: bsock.c:133 Unable to connect to (Client: %{BACULA_HOST:client}|Storage daemon) on %{HOSTNAME}:%{POSINT}. ERR=%{GREEDYDATA:berror}",
+    "BACULA_LOG_NO_CONNECT": r"Warning: bsock.c:127 Could not connect to (Client: %{BACULA_HOST:client}|Storage daemon) on %{HOSTNAME}:%{POSINT}. ERR=%{GREEDYDATA:berror}",
+    "BACULA_LOG_NO_AUTH": r"Fatal error: Unable to authenticate with File daemon at %{HOSTNAME}. Possible causes:",
+    "BACULA_LOG_NOSUIT": r"No prior or suitable Full backup found in catalog. Doing FULL backup.",
+    "BACULA_LOG_NOPRIOR": r"No prior Full backup Job record found.",
+    "BACULA_LOG_JOB": r"(Error: )?Bacula %{BACULA_HOST} %{BACULA_VERSION} \(%{BACULA_VERSION}\):",
+    "BACULA_LOGLINE": (
+        r"%{BACULA_TIMESTAMP:bts} %{BACULA_HOST:hostname} JobId %{INT:jobid}: "
+        r"(?:%{BACULA_LOG_MAX_CAPACITY}|%{BACULA_LOG_END_VOLUME}|%{BACULA_LOG_NEW_VOLUME}|"
+        r"%{BACULA_LOG_NEW_LABEL}|%{BACULA_LOG_WROTE_LABEL}|%{BACULA_LOG_NEW_MOUNT}|"
+        r"%{BACULA_LOG_NOOPEN}|%{BACULA_LOG_NOOPENDIR}|%{BACULA_LOG_NOSTAT}|"
+        r"%{BACULA_LOG_NOJOBS}|%{BACULA_LOG_ALL_RECORDS_PRUNED}|"
+        r"%{BACULA_LOG_BEGIN_PRUNE_JOBS}|%{BACULA_LOG_BEGIN_PRUNE_FILES}|"
+        r"%{BACULA_LOG_PRUNED_JOBS}|%{BACULA_LOG_PRUNED_FILES}|%{BACULA_LOG_ENDPRUNE}|"
+        r"%{BACULA_LOG_STARTJOB}|%{BACULA_LOG_STARTRESTORE}|%{BACULA_LOG_USEDEVICE}|"
+        r"%{BACULA_LOG_DIFF_FS}|%{BACULA_LOG_JOBEND}|%{BACULA_LOG_NOPRUNE_JOBS}|"
+        r"%{BACULA_LOG_NOPRUNE_FILES}|%{BACULA_LOG_VOLUME_PREVWRITTEN}|"
+        r"%{BACULA_LOG_READYAPPEND}|%{BACULA_LOG_CANCELLING}|%{BACULA_LOG_MARKCANCEL}|"
+        r"%{BACULA_LOG_CLIENT_RBJ}|%{BACULA_LOG_VSS}|%{BACULA_LOG_MAXSTART}|"
+        r"%{BACULA_LOG_DUPLICATE}|%{BACULA_LOG_NOJOBSTAT}|%{BACULA_LOG_FATAL_CONN}|"
+        r"%{BACULA_LOG_NO_CONNECT}|%{BACULA_LOG_NO_AUTH}|%{BACULA_LOG_NOSUIT}|"
+        r"%{BACULA_LOG_NOPRIOR})"
+    ),
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")

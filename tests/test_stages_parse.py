@@ -222,8 +222,57 @@ def test_grok_pattern_library_compiles():
 
     for name in CORE_PATTERNS:
         compile_grok("%{" + name + ":x}")
-    assert len(CORE_PATTERNS) >= 120
+    assert len(CORE_PATTERNS) >= 300
     samples = {
+        # round-3 long-tail families
+        "CISCOFW106023": (
+            'Deny tcp src outside:10.1.1.5/51000 dst inside:192.168.1.10/443 '
+            'by access-group "OUTSIDE_IN" [0x8c2fdf74, 0x0]'),
+        "CISCOFW302013_302014_302015_302016": (
+            'Built inbound TCP connection 366 for outside:10.1.1.5/51000 '
+            '(10.1.1.5/51000) to inside:192.168.1.10/443 (192.168.1.10/443)'),
+        "CISCOFW106001": (
+            'Inbound TCP connection denied from 10.1.1.5/51000 to '
+            '192.168.1.10/443 flags SYN on interface outside'),
+        "NETSCREENSESSIONLOG": (
+            'Jun  2 14:53:31 fire00 ns5xp: NetScreen device_id=ns5xp '
+            'system-warning-00515: start_time="2026-06-02 14:53:30" duration=0 '
+            'policy_id=320001 service=msrpc proto=6 src zone=Trust dst '
+            'zone=Untrust action=Deny sent=0 rcvd=0 src=192.168.2.2 '
+            'dst=10.0.0.1 src_port=3036 dst_port=135'),
+        "RT_FLOW2": (
+            'RT_FLOW_SESSION_CREATE: session created 10.1.1.100/35621->'
+            '93.184.216.34/80 junos-http 172.19.35.2/23864->93.184.216.34/80 '
+            'source-nat-rule None 6 permit-all trust untrust 6969 .'),
+        "HTTPD24_ERRORLOG": (
+            '[Fri Sep 09 10:42:29 2011] [core:error] [pid 35708:tid 4328636416] '
+            '[client 72.15.99.187:51000] File does not exist: /htdocs/favicon.ico'),
+        "MAVEN_VERSION": '3.8.1-SNAPSHOT',
+        "HAPROXYTCP": (
+            'Jul  9 14:29:13 loadbalancer haproxy[14389]: 10.0.1.2:33313 '
+            '[09/Jul/2026:14:29:13.439] fe-tcp be-tcp/srv1 0/0/7 212 -- '
+            '1/1/1/1/0 0/0'),
+        "MONGO_SLOWQUERY": (
+            'query test.users query: { a: 1.0 } ntoreturn:0 ntoskip:0 '
+            'nscanned:100000 keyUpdates:0 numYields: 2 locks(micros) r:219959 '
+            'nreturned:0 reslen:20 113ms'),
+        "CLOUDFRONT_ACCESS_LOG": (
+            '2026-02-01\t01:13:11\tFRA2\t182\t192.0.2.10\tGET\t'
+            'd111111abcdef8.cloudfront.net\t/view/my/file.html\t200\t'
+            'www.example.com\tMozilla/4.0\t-\tzip=98101\tRefreshHit\t'
+            'MRVMF7KydIvxMWfJIglgwHQwZsbG2IhRJ07sn9AkKUFSHS9EXAMPLE==\t'
+            'd111111abcdef8.cloudfront.net\thttp\t-\t0.001\t-\t-\t-\tRefreshHit'),
+        "SHOREWALL": (
+            'May 28 17:23:25 myhost kernel: Shorewall:net2fw:DROP:IN=eth1 OUT= '
+            'MAC=00:02:b3:c7:2f:77:38:72:c0:6e:92:9c:08:00 SRC=127.0.0.1 '
+            'DST=1.2.3.4 LEN=60 TOS=0x00 PREC=0x00 TTL=49 ID=6480 PROTO=TCP '
+            'SPT=59088 DPT=8080 WINDOW=14600 RES=0x00 SYN URGP=0'),
+        "BACULA_LOGLINE": (
+            '17-Aug 13:00 bacula-dir JobId 123: Start Backup JobId 123, '
+            'Job=BackupClient1.2026-08-17_13.00.00_03'),
+        "NAGIOS_EC_LINE_DISABLE_HOST_SVC_NOTIFICATIONS": (
+            '[1427925600] EXTERNAL COMMAND: DISABLE_HOST_SVC_NOTIFICATIONS;host1'),
+        "URN": 'urn:ietf:rfc:2648',
         "SYSLOGLINE": "Aug 17 09:01:02 web01 sshd[1234]: Accepted password",
         "HAPROXYHTTPBASE": (
             '10.0.0.1:45000 [17/Aug/2026:09:01:02.123] fe be/srv1 0/0/1/2/3 '
