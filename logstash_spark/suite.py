@@ -1458,8 +1458,9 @@ def grok_syslogline(spark, sf_dir):
 def grok_longtail(spark, sf_dir):
     """Long-tail pattern-library coverage: the SQUID3 proxy access-log
     composite (squid family — one of the round-3 library additions
-    alongside nagios/zeek/bacula/bind/rails/postfix; 219 named
-    patterns total). 12 captures incl. a typed %{INT:bytes:int} —
+    alongside nagios/zeek/bacula/bind/rails/postfix and the
+    firewalls/junos/cloudfront families; 323 named patterns total).
+    12 captures incl. a typed %{INT:bytes:int} —
     single-pattern, so it exercises the native multi-capture lowering
     (one rlike + k regexp_extract, zero Python)."""
     ev = _with_synth_ip(_t(spark, sf_dir, "events"))
