@@ -47,6 +47,8 @@ def resolve_input(
             # (logstash-codec-line); .text's `.gz` handling covers
             # gzip_lines
             return df.withColumnRenamed("value", "message")
+        if fmt == "avro":
+            return _read_avro(spark, path, args, streaming)
         if streaming and "schema" not in args:
             raise SourceError(f"streaming {fmt} input requires schema => '<ddl>'")
         if "schema" in args:
@@ -134,3 +136,57 @@ def resolve_input(
                           "(SURVEY §2.2 [P2]) — use `generator` or `file`")
 
     raise SourceError(f"unknown input plugin {plugin!r}")
+
+
+def _read_avro(
+    spark: SparkSession, path: str, args: dict, streaming: bool
+) -> DataFrame:
+    """Avro codec: native spark-avro reader when its jar is present,
+    else the pure-Python container-file decoder (`avro_codec.py`,
+    public Avro 1.x spec) over a `binaryFile` scan + `mapInPandas`.
+
+    Fallback shape: one task per file (files are self-describing — each
+    worker decodes with the schema embedded in its own file's header,
+    so schema evolution across rolled log files is per-file correct;
+    fields are matched to the plan schema by name, missing → null).
+    The driver peeks one header only to declare the plan-time schema;
+    remote paths can pass `avro_schema => '<json>'` instead. The native
+    reader splits single large files at sync markers — the fallback
+    does not, which is the right trade for the many-rolled-files log
+    case this codec serves.
+    """
+    reader = spark.readStream if streaming else spark.read
+    try:
+        df = reader.format("avro").load(path)
+        df.schema  # force resolution now: jar-missing surfaces here
+        return df
+    except Exception:
+        pass  # no spark-avro datasource jar — pure-Python fallback
+
+    from . import avro_codec
+
+    if "avro_schema" in args:
+        schema = avro_codec.parse_schema(args["avro_schema"])
+    else:
+        schema = avro_codec.peek_schema(path)
+    ddl = avro_codec.spark_ddl(schema)
+    field_names = [f["name"] for f in schema["fields"]]
+
+    def decode_files(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for raw in pdf["content"]:
+                _, rows = avro_codec.read_container(bytes(raw))
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in rows] for n in field_names}
+                )
+
+    binf = reader.format("binaryFile")
+    if streaming:
+        # streaming binaryFile needs its (fixed) schema declared
+        binf = binf.schema(
+            "path string, modificationTime timestamp, length bigint, content binary"
+        )
+    files = binf.option("pathGlobFilter", "*.avro").load(path)
+    return files.select("content").mapInPandas(decode_files, schema=ddl)

@@ -41,6 +41,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Queries whose oracle is a precomputed literal VALUES table
+# (scripts/gen_datapipe_oracles.py) tied to the driver's correctness
+# scale. oracle_sql() is static SQL by contract, so at any OTHER
+# sf_dir these oracles describe a different corpus and must mismatch —
+# scripts/selfcheck.py reports them as pinned rather than failed there.
+LITERAL_PINNED_SF = "sf0.01"
+LITERAL_PINNED = frozenset({
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_neardup",
+    "similarity_topk_battery",
+})
+
 
 def _q(name: str, sql: str | None = None):
     def deco(fn: QueryFn):

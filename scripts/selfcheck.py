@@ -62,9 +62,28 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    import os
+
+    from logstash_spark.suite import LITERAL_PINNED, LITERAL_PINNED_SF
+
     qs = se.queries()
     oracles = se.oracle_sql()
     failures = []
+    pinned = []
+    off_scale = os.path.basename(sf_dir.rstrip("/")) != LITERAL_PINNED_SF
+
+    def fail(name, msg) -> None:
+        # literal VALUES oracles are tied to the driver's sf0.01 corpus
+        # (oracle_sql() is static SQL by contract) — at any other scale
+        # a mismatch there is by-design, not a defect
+        if off_scale and name in LITERAL_PINNED:
+            pinned.append(name)
+            print(f"pin  {name}: literal oracle tied to {LITERAL_PINNED_SF} "
+                  f"— {msg}")
+        else:
+            failures.append(name)
+            print(f"FAIL {name}: {msg}")
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -95,41 +114,43 @@ def main():
             continue
         # integral-vs-float dtype splits are exactly the HUGEINT trap:
         # rows/schema match but every value hash diverges
+        dtype_split = False
         for c in scols:
             if c in dcols:
                 sk, dk = str(spdf[c].dtype), str(dpdf[c].dtype)
                 s_int = sk.startswith(("int", "uint"))
                 d_int = dk.startswith(("int", "uint"))
                 if s_int != d_int and "object" not in (sk, dk):
-                    failures.append(name)
-                    print(f"FAIL {name}: dtype split on '{c}': spark={sk} duckdb={dk} "
-                          f"(CAST the oracle aggregate)")
+                    dtype_split = True
+                    fail(name, f"dtype split on '{c}': spark={sk} duckdb={dk} "
+                               f"(CAST the oracle aggregate)")
                     break
-        if failures and failures[-1] == name:
+        if dtype_split:
             continue
         if sorted(scols) != sorted(dcols):
-            failures.append(name)
-            print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(dcols)}")
+            fail(name, f"schema {sorted(scols)} vs {sorted(dcols)}")
             continue
         if len(srows) != len(drows):
-            failures.append(name)
-            print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
+            fail(name, f"rowcount {len(srows)} vs {len(drows)}")
             continue
         s_can = canon(srows, scols)
         d_can = canon(drows, dcols)
         if s_can != d_can:
-            failures.append(name)
             ndiff = sum(1 for a, b in zip(s_can, d_can) if a != b)
-            print(f"FAIL {name}: value mismatch ({ndiff}/{len(s_can)} rows differ)")
-            for a, b in list(zip(s_can, d_can))[:200]:
-                if a != b:
-                    print(f"  spark : {a[:200]}")
-                    print(f"  duckdb: {b[:200]}")
-                    break
+            fail(name, f"value mismatch ({ndiff}/{len(s_can)} rows differ)")
+            if not (off_scale and name in LITERAL_PINNED):
+                for a, b in list(zip(s_can, d_can))[:200]:
+                    if a != b:
+                        print(f"  spark : {a[:200]}")
+                        print(f"  duckdb: {b[:200]}")
+                        break
         else:
             print(f"ok   {name}: {len(srows)} rows match ({dt:.1f}s)")
 
-    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL MATCH")
+    if pinned:
+        print(f"\n{len(pinned)} literal-pinned (expected off {LITERAL_PINNED_SF}): "
+              f"{pinned}")
+    print(f"{len(failures)} failures: {failures}" if failures else "ALL MATCH")
     sys.exit(1 if failures else 0)
 
 
