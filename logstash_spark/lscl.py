@@ -213,6 +213,7 @@ _SINK_NAMERS = {
     "file": lambda a: a.get("path", "file").strip("/").replace("/", "_"),
     "stdout": lambda a: "stdout",
     "csv": lambda a: a.get("path", "csv"),
+    "iceberg": lambda a: a.get("table", "iceberg").replace(".", "_"),
 }
 
 
@@ -248,6 +249,12 @@ def to_pipeline_spec(text: str, pipeline_id: str = "main") -> dict:
             out["format"] = "csv"
         if "codec" in args and args["codec"] in ("json_lines", "json"):
             out["format"] = "json"
+        if "table" in args:
+            # catalog-table sink (router._write_catalog_table); the
+            # `iceberg` output plugin defaults its provider accordingly
+            out["table"] = args["table"]
+            if name == "iceberg":
+                out["format"] = args.get("format", "iceberg")
         outputs.append(out)
 
     inputs = [{"plugin": name, "args": args} for name, args, _ in sections["input"]]

@@ -76,6 +76,16 @@ def get_spark(
         # Hive metastore fallback) writes derby.log to derby.system.home,
         # which defaults to the process cwd — keep it out of the repo.
         .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp")
+        # Managed-table warehouse for catalog-table sinks: default is
+        # ./spark-warehouse under the process cwd — keep it out of the
+        # source tree in local mode. Cluster deployments override (or
+        # configure an Iceberg catalog, which carries its own warehouse).
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR", "/tmp/logstash_spark_warehouse"
+            ),
+        )
     )
     # Local-mode bench harnesses need a big driver heap (the driver JVM
     # hosts all 32 task slots; 1g GC-thrashes under concurrent parquet

@@ -55,8 +55,35 @@ def resolve_input(
             reader = reader.schema(args["schema"])
         return reader.format(fmt).load(path)
 
-    if plugin in ("parquet", "table"):
+    if plugin in ("parquet", "table", "iceberg"):
         reader = spark.readStream if streaming else spark.read
+        if plugin == "iceberg" or "table" in args:
+            # Catalog-table input — the north-star deployment shape: the
+            # pages corpus lives in an Iceberg table and the pipeline
+            # reads it through the session catalog
+            # (`spark.read.table("cat.db.pages")`), which with the
+            # Iceberg runtime jar + catalog conf on the cluster is an
+            # Iceberg scan with snapshot isolation, hidden-partition
+            # pruning and time travel. The code path is catalog-agnostic
+            # by design: the sandbox exercises it against the built-in
+            # session catalog (tests/test_sources.py); a cluster points
+            # `spark.sql.catalog.<name>` at Iceberg and nothing here
+            # changes. Time-travel options pass straight through.
+            try:
+                name = args["table"]
+            except KeyError:
+                raise SourceError(
+                    f"{plugin} input requires table => '<catalog.db.table>'"
+                )
+            for ls_key, opt_key in (
+                ("snapshot_id", "snapshot-id"),
+                ("as_of_timestamp", "as-of-timestamp"),
+                ("branch", "branch"),
+                ("tag", "tag"),
+            ):
+                if ls_key in args:
+                    reader = reader.option(opt_key, str(args[ls_key]))
+            return reader.table(name)
         if streaming and "schema" in args:
             reader = reader.schema(args["schema"])
         return reader.parquet(args["path"])

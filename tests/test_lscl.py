@@ -262,3 +262,21 @@ def test_conditional_remove_field_merge(spark):
     pipe.release_branch_caches()
     assert rows[1].message is None and "redacted" in rows[1].tags
     assert rows[2].message == "hallo" and "redacted" not in (rows[2].tags or [])
+
+
+def test_iceberg_output_lowering():
+    spec = to_pipeline_spec(
+        """
+        input { iceberg { table => "lake.web.pages" } }
+        output {
+          if [lang] == "en" { iceberg { table => "lake.web.pages_en" } }
+        }
+        """
+    )
+    assert spec["inputs"][0]["plugin"] == "iceberg"
+    assert spec["inputs"][0]["args"]["table"] == "lake.web.pages"
+    (sink,) = spec["outputs"]
+    assert sink["table"] == "lake.web.pages_en"
+    assert sink["format"] == "iceberg"
+    assert sink["name"] == "lake_web_pages_en"
+    assert sink["when"] == '[lang] == "en"'

@@ -97,3 +97,48 @@ def test_jdbc_input_embedded_derby(spark, tmp_path):
          "jdbc_driver_class": driver},
     )
     assert [r[0] for r in q.collect()] == [2]
+
+
+def test_catalog_table_input(spark):
+    """Catalog-table input (the Iceberg deployment shape) against the
+    built-in session catalog: same `spark.read.table` code path an
+    Iceberg catalog serves on a cluster."""
+    spark.sql("DROP TABLE IF EXISTS ls_src_pages")
+    spark.createDataFrame(
+        [("http://a", "en"), ("http://b", "de")], "url string, lang string"
+    ).writeTo("ls_src_pages").using("parquet").create()
+    try:
+        df = resolve_input(spark, "table", {"table": "ls_src_pages"})
+        assert sorted(r["url"] for r in df.collect()) == ["http://a", "http://b"]
+        df2 = resolve_input(spark, "iceberg", {"table": "ls_src_pages"})
+        assert df2.count() == 2
+        with pytest.raises(SourceError, match="table =>"):
+            resolve_input(spark, "iceberg", {})
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ls_src_pages")
+
+
+def test_catalog_table_sink_overwrite_and_append(spark):
+    """Router catalog-table sink: create on first batch (partitioned by
+    bucket), dynamic-partition overwrite on re-run (idempotent resume),
+    append accumulates."""
+    from logstash_spark.router import Router, SinkSpec
+
+    spark.sql("DROP TABLE IF EXISTS ls_sink_out")
+    df = spark.createDataFrame(
+        [("u1", "en", 0), ("u2", "en", 0), ("u3", "de", 1)],
+        "url string, lang string, bucket int",
+    ).persist()
+    router = Router([SinkSpec(name="out", table="ls_sink_out", fmt="parquet")])
+    try:
+        counts = router.write_batch(df, run_dir="/tmp/unused", mode="overwrite")
+        assert counts == {"out": 3}
+        # re-run of the same batch: dynamic partition overwrite → same rows
+        router.write_batch(df, run_dir="/tmp/unused", mode="overwrite")
+        assert spark.table("ls_sink_out").count() == 3
+        # append mode accumulates (micro-batch shape)
+        router.write_batch(df, run_dir="/tmp/unused", mode="append")
+        assert spark.table("ls_sink_out").count() == 6
+    finally:
+        df.unpersist()
+        spark.sql("DROP TABLE IF EXISTS ls_sink_out")
