@@ -255,6 +255,15 @@ CORE_PATTERNS: dict[str, str] = {
         r"%{GREEDYDATA:timedout}\t%{GREEDYDATA:parent_fuid}\t%{GREEDYDATA:md5}\t"
         r"%{GREEDYDATA:sha1}\t%{GREEDYDATA:sha256}\t%{GREEDYDATA:extracted}"
     ),
+    # zeek: the renamed modern family (ecs-v1 pattern file) over the
+    # same TSV shapes — aliases so configs written against either
+    # generation of the pattern names port unchanged
+    "ZEEK_BOOL": r"[TF]",
+    "ZEEK_DATA": r"[^\t]+",
+    "ZEEK_HTTP": r"%{BRO_HTTP}",
+    "ZEEK_DNS": r"%{BRO_DNS}",
+    "ZEEK_CONN": r"%{BRO_CONN}",
+    "ZEEK_FILES": r"%{BRO_FILES}",
     # ---- nagios core log (nagios pattern file equivalents) ----
     "NAGIOS_TYPE_CURRENT_SERVICE_STATE": r"CURRENT SERVICE STATE",
     "NAGIOS_TYPE_CURRENT_HOST_STATE": r"CURRENT HOST STATE",

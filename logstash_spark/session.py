@@ -25,8 +25,14 @@ from pyspark.sql import SparkSession
 
 # Arrow batch size ≈ Logstash pipeline.batch.size scaled for columnar
 # execution: big enough to amortize Python/Arrow transfer, small enough
-# that a batch of html binaries fits comfortably in worker memory.
-ARROW_BATCH = 10_000
+# that a batch of html binaries fits comfortably in worker memory. At
+# the north-star payload (~20 KB Common-Crawl-style html/doc) 2048 rows
+# ≈ 40 MB per task in flight; the old 10k-row default put 200 MB per
+# task in flight and measurably hurt scaling on fat pages
+# (scripts/scale_bench.py methodology note). Small log events pay no
+# penalty: the hot parse path (grok/dissect/date) is native, so pandas
+# batches only carry the extraction/useragent fallback stages.
+ARROW_BATCH = 2_048
 
 
 def default_parallelism() -> int:
@@ -69,7 +75,12 @@ def get_spark(
         # manifest (checkpoint.py) is the real commit point, and a batch
         # that dies mid-write is rewritten idempotently per bucket.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd over snappy: measured 36% smaller sink output on the
+        # flagship fat-pages corpus (152 vs 239 MB per 60k docs) at
+        # equal wall-clock within this VM's noise band — at the 100 TB
+        # target the sink/shuffle I/O saved dominates the extra
+        # compression CPU, and web-text corpora are where zstd shines.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "2g")
         # Derby (the embedded JDBC engine the jdbc tests run against, and

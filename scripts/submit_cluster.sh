@@ -11,7 +11,15 @@ cd "$REPO" && zip -qr "$ZIP" logstash_spark
 
 # Example: run an LSCL pipeline over an Iceberg/parquet pages table at
 # two cluster sizes (the N->4N scaling criterion). Executor counts and
-# the Iceberg catalog confs are deploy-specific.
+# the Iceberg catalog confs are deploy-specific. An Iceberg deployment
+# adds the runtime jar + a catalog, e.g.:
+#   --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \
+#   --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+#   --conf spark.sql.catalog.lake.type=hadoop \
+#   --conf spark.sql.catalog.lake.warehouse=s3a://bucket/warehouse \
+# and the LSCL config reads/writes catalog tables directly:
+#   input  { iceberg { table => "lake.web.pages" } }
+#   output { iceberg { table => "lake.web.pages_en" } }
 exec spark-submit \
   --py-files "$ZIP" \
   --conf spark.sql.adaptive.enabled=true \
