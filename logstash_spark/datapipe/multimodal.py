@@ -2,12 +2,21 @@
 
 Design (SURVEY brief): image/audio/video travel as ``binary`` columns
 with a typed metadata struct; decode / feature-extract / resize /
-frame-sample are ``mapInPandas`` operators over Arrow batches. The
-actual codec calls are STUBBED (this container ships no media
-libraries): each operator tries the real library import and otherwise
-uses a clearly-marked deterministic fake — the Spark-side plumbing
-(schema, partitioning, UDF signature, Arrow batch shape) is real and
-tested either way.
+frame-sample are ``mapInPandas`` operators over Arrow batches.
+
+Decoder honesty policy:
+
+* **Uncompressed containers decode for real** — pure stdlib/numpy, no
+  media libraries required: BMP (24/32-bpp, uncompressed) images yield
+  true dims + a mean-pooled 4×4 grayscale grid embedding; RIFF/WAVE
+  16-bit PCM audio yields true sample-rate/duration/RMS/peak features.
+  The synthetic media table generates real BMP/WAV payloads so these
+  paths are exercised end-to-end in Spark tests.
+* **Compressed codecs (jpeg/mp4/…) are STUBBED** (this container ships
+  no media libraries): the operator tries the real library import and
+  otherwise uses a clearly-marked deterministic fake — the Spark-side
+  plumbing (schema, partitioning, UDF signature, Arrow batch shape) is
+  real and tested either way.
 
 Media-table schema::
 
@@ -38,9 +47,116 @@ IMAGE_FEATURES_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_payload binary, decoder string"
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_samples long, "
+    "duration_sec double, rms double, peak double, decoder string"
+)
+
+
 def _deterministic_rng(payload: bytes) -> np.random.Generator:
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
     return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------- real codecs
+# Public container formats, parsed from their published layouts
+# (BITMAPFILEHEADER/BITMAPINFOHEADER; RIFF/WAVE chunks) — no media libs.
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bpp bottom-up BMP bytes."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        body += pixels[y, :, ::-1].tobytes()  # BGR on disk
+        body += b"\x00" * pad
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Uncompressed 24/32-bpp BMP → (width, height, channels, hwc uint8).
+    Raises ValueError on anything else (compressed/paletted → stub path)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    row = w * nch
+    stride = row + ((-row) % 4)
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pix_off)
+    rows = data.reshape(h, stride)[:, :row].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    rgb = rows[:, :, 2::-1] if nch >= 3 else rows  # BGR(A) → RGB
+    return w, h, nch, np.ascontiguousarray(rgb[:, :, :3])
+
+
+def image_grid_embedding(rgb: np.ndarray, grid: int = 4) -> np.ndarray:
+    """Mean-pooled grayscale grid → grid² float32 embedding in [0, 1]:
+    the classic tiny-thumbnail signature used for near-dup blocking."""
+    gray = rgb.astype(np.float32).mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    out = np.empty(grid * grid, dtype=np.float32)
+    for i in range(grid):
+        for j in range(grid):
+            cell = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out[i * grid + j] = float(cell.mean()) / 255.0
+    return out
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """float array in [-1, 1] → 16-bit PCM mono RIFF/WAVE bytes."""
+    import struct
+
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE 16-bit PCM → (sample_rate, channels, float32 in [-1,1]).
+    Raises ValueError for non-PCM (→ stub path)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, nch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, nch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAVE (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0
+    return int(rate), int(nch), samples
 
 
 def _fake_decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -72,9 +188,25 @@ def gen_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
             rows = []
             for i in pdf["id"]:
                 rng = np.random.default_rng(seed + int(i))
-                payload = rng.bytes(256 + int(i) % 512)
                 kind = kinds[int(i) % 3]
-                mime = {"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}[kind]
+                if kind == "image":
+                    # real uncompressed BMP (decoded for real downstream)
+                    w = int(rng.integers(8, 33))
+                    h = int(rng.integers(8, 33))
+                    pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    payload, mime = encode_bmp(pixels), "image/bmp"
+                elif kind == "audio":
+                    # real 16-bit PCM WAV: a seeded sine + noise
+                    n = int(rng.integers(400, 1600))
+                    t = np.arange(n) / 16_000.0
+                    freq = float(rng.integers(100, 2000))
+                    amp = float(rng.uniform(0.2, 0.9))
+                    wave = amp * np.sin(2 * np.pi * freq * t)
+                    wave += rng.normal(0, 0.01, n)
+                    payload, mime = encode_wav(wave), "audio/wav"
+                else:
+                    # compressed container — stays an opaque stub payload
+                    payload, mime = rng.bytes(256 + int(i) % 512), "video/mp4"
                 rows.append((int(i), kind, payload, (mime, len(payload))))
             yield pd.DataFrame(rows, columns=["doc_id", "kind", "payload", "media_meta"])
 
@@ -90,12 +222,22 @@ def decode_images(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for _, r in pdf.iterrows():
-                if _HAVE_PIL:
-                    raise NotImplementedError(
-                        "real decoder wiring lands when a media-enabled image exists"
-                    )
-                w, h, c, emb = _fake_decode_image(bytes(r["payload"]))
-                out.append((r["doc_id"], r["kind"], w, h, c, emb.tolist(), "fake-sha256"))
+                payload = bytes(r["payload"])
+                try:
+                    # real path: uncompressed BMP, no media libs needed
+                    w, h, c, rgb = decode_bmp(payload)
+                    emb = image_grid_embedding(rgb)
+                    decoder = "bmp-pure"
+                except ValueError:
+                    if _HAVE_PIL:
+                        raise NotImplementedError(
+                            "compressed-codec wiring lands when a "
+                            "media-enabled image exists"
+                        )
+                    # stub path: compressed codec without its library
+                    w, h, c, emb = _fake_decode_image(payload)
+                    decoder = "fake-sha256"
+                out.append((r["doc_id"], r["kind"], w, h, c, emb.tolist(), decoder))
             yield pd.DataFrame(
                 out,
                 columns=["doc_id", "kind", "width", "height", "channels",
@@ -103,6 +245,36 @@ def decode_images(df: DataFrame) -> DataFrame:
             )
 
     return df.filter(F.col("kind") == "image").mapInPandas(op, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """audio rows → real PCM features (sample rate, duration, RMS, peak)
+    for RIFF/WAVE payloads; non-PCM codecs fall to the deterministic
+    stub. Same one-Arrow-hop shape as decode_images."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                try:
+                    rate, nch, samples = decode_wav(payload)
+                    n = len(samples) // max(nch, 1)
+                    rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+                    peak = float(np.abs(samples).max()) if len(samples) else 0.0
+                    out.append((r["doc_id"], rate, nch, n, n / rate, rms, peak,
+                                "wav-pure"))
+                except ValueError:
+                    rng = _deterministic_rng(payload)
+                    out.append((r["doc_id"], 16_000, 1, 0, 0.0,
+                                float(rng.uniform(0, 1)), 1.0, "fake-sha256"))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "sample_rate", "channels", "n_samples",
+                         "duration_sec", "rms", "peak", "decoder"],
+            )
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(op, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 2, max_frames: int = 4) -> DataFrame:

@@ -136,13 +136,61 @@ def test_multimodal_plumbing(spark):
     rows = feats.collect()
     assert len(rows) == 8  # every third row is an image
     r = rows[0]
-    assert r.channels == 3 and len(r.embedding) == 16 and r.decoder == "fake-sha256"
-    # determinism: same payload → same fake embedding
+    # the synthetic images are real uncompressed BMPs → the REAL decoder
+    assert r.channels == 3 and len(r.embedding) == 16 and r.decoder == "bmp-pure"
+    assert 8 <= r.width <= 32 and 8 <= r.height <= 32
+    assert all(0.0 <= v <= 1.0 for v in r.embedding)
+    # determinism: same payload → same embedding
     again = {x.doc_id: x.embedding for x in multimodal.decode_images(media).collect()}
     assert again[r.doc_id] == r.embedding
     frames = multimodal.sample_frames(media)
     assert frames.count() > 0
     assert frames.columns == ["doc_id", "frame_idx", "frame_payload", "decoder"]
+
+
+def test_multimodal_real_codecs(spark):
+    """The pure-numpy BMP/WAV decoders decode for real: known payloads
+    yield known dims/energies, end-to-end through the Spark operators."""
+    import numpy as np
+    import pandas as pd
+
+    # hand-built image: left half black, right half white, 8x4
+    px = np.zeros((4, 8, 3), np.uint8)
+    px[:, 4:] = 255
+    bmp = multimodal.encode_bmp(px)
+    w, h, c, back = multimodal.decode_bmp(bmp)
+    assert (w, h, c) == (8, 4, 3) and np.array_equal(back, px)
+    # 440 Hz sine at amplitude 0.5 → rms = 0.5/sqrt(2)
+    t = np.arange(8000) / 16000.0
+    wav = multimodal.encode_wav(0.5 * np.sin(2 * np.pi * 440 * t))
+
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2],
+            "kind": ["image", "audio"],
+            "payload": [bmp, wav],
+            "media_meta": [("image/bmp", len(bmp)), ("audio/wav", len(wav))],
+        }),
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    img = multimodal.decode_images(media).collect()[0]
+    assert (img.width, img.height, img.decoder) == (8, 4, "bmp-pure")
+    # grid embedding: left columns 0.0, right columns 1.0
+    emb = np.array(img.embedding).reshape(4, 4)
+    assert np.allclose(emb[:, :2], 0.0) and np.allclose(emb[:, 2:], 1.0)
+    aud = multimodal.audio_features(media).collect()[0]
+    assert aud.sample_rate == 16000 and aud.decoder == "wav-pure"
+    assert abs(aud.duration_sec - 0.5) < 1e-6
+    assert abs(aud.rms - 0.5 / np.sqrt(2)) < 1e-3
+    # a non-PCM payload falls to the declared stub, never aborts
+    junk = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [3], "kind": ["audio"],
+            "payload": [b"\x00" * 64], "media_meta": [("audio/mp3", 64)],
+        }),
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    assert multimodal.audio_features(junk).collect()[0].decoder == "fake-sha256"
 
 
 def test_minhash_hot_bucket_skew(spark):
