@@ -101,6 +101,16 @@ def main():
             if not os.path.exists(path + "/_SUCCESS"):
                 gen_pages(spark, n, partitions=64, para_scale=para_scale).write.mode("overwrite").parquet(path)
         spark.stop()
+        # spark.stop() leaves the staging JVM (48 g heap, GC threads)
+        # alive in this orchestrator process for the whole trial matrix —
+        # stray unpinned threads a pinned trial can contend with. Shut
+        # the py4j gateway down so the JVM actually exits.
+        from pyspark import SparkContext
+
+        if SparkContext._gateway is not None:
+            SparkContext._gateway.shutdown()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
 
     total_bytes = sum(
         os.path.getsize(os.path.join(pages_path, f))
