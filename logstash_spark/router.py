@@ -132,7 +132,7 @@ def _write_catalog_table(branch: DataFrame, sink: SinkSpec, mode: str) -> None:
     micro-batches. Catalog-agnostic: exercised in-sandbox against the
     built-in session catalog (tests/test_sources.py::test_catalog_table_sink_overwrite_and_append).
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.errors import AnalysisException
 
     spark = branch.sparkSession
     if not spark.catalog.tableExists(sink.table):
@@ -149,7 +149,14 @@ def _write_catalog_table(branch: DataFrame, sink: SinkSpec, mode: str) -> None:
         else:
             branch.writeTo(sink.table).using(sink.fmt).createOrReplace()
     except AnalysisException as e:
-        if "v1 table" not in str(e):
+        # Structured error condition first (stable across Spark versions);
+        # message substring only as a last-resort fallback for builds that
+        # predate error classes on this path.
+        cond = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        is_v1 = (cond is not None and "V1" in cond.upper()) or (
+            cond is None and "v1 table" in str(e)
+        )
+        if not is_v1:
             raise
         # The built-in session catalog exposes parquet tables as v1,
         # which rejects DataFrameWriterV2 writes — fall back to the v1
@@ -193,10 +200,23 @@ class Router:
 
         Returns per-sink row counts. Partitioned-by-bucket dynamic
         overwrite keeps re-runs of the same batch idempotent.
+
+        The at-least-once resume guarantee must not depend on who built
+        the SparkSession: ``mode("overwrite").partitionBy("bucket")`` is
+        only bucket-scoped when ``spark.sql.sources.partitionOverwriteMode``
+        is ``dynamic`` — under the Spark default (STATIC) it truncates the
+        whole sink root, so every micro-batch would erase its predecessors
+        and resume would silently keep only the last batch. The conf is a
+        runtime-settable SQL conf; pin it here for the duration of the
+        fan-out and restore the caller's value after (reference parity:
+        ackedqueue/Queue.java ack semantics — a replayed batch must land
+        idempotently regardless of process-level configuration).
         """
         from concurrent.futures import ThreadPoolExecutor
 
         from pyspark.sql import Observation
+
+        OVERWRITE_MODE_CONF = "spark.sql.sources.partitionOverwriteMode"
 
         def write_one(sink: SinkSpec) -> tuple[str, int]:
             branch = self.branch(df, sink)
@@ -219,5 +239,14 @@ class Router:
         # the reference writes outputs from the same worker pass,
         # DatasetCompiler#outputDataset). Serializing them would leave
         # the cluster idle between job tails.
-        with ThreadPoolExecutor(max_workers=max(1, len(self.sinks))) as pool:
-            return dict(pool.map(write_one, self.sinks))
+        spark = df.sparkSession
+        prior_mode = spark.conf.get(OVERWRITE_MODE_CONF, None)
+        spark.conf.set(OVERWRITE_MODE_CONF, "dynamic")
+        try:
+            with ThreadPoolExecutor(max_workers=max(1, len(self.sinks))) as pool:
+                return dict(pool.map(write_one, self.sinks))
+        finally:
+            if prior_mode is None:
+                spark.conf.unset(OVERWRITE_MODE_CONF)
+            else:
+                spark.conf.set(OVERWRITE_MODE_CONF, prior_mode)
