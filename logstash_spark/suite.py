@@ -266,29 +266,6 @@ def mutate_chain(spark, sf_dir):
     return out.select("event_id", "etype", "etype2", "user_id", "summary")
 
 
-@_q(
-    "translate_inline",
-    """
-    SELECT event_id,
-           CASE event_type
-             WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
-             WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
-             ELSE 'other' END AS category
-    FROM events
-    """,
-)
-def translate_inline(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    out = apply_stage(
-        ev,
-        {"translate": {"source": "event_type", "target": "category",
-                       "dictionary": {"click": "engagement", "view": "engagement",
-                                      "purchase": "revenue", "signup": "growth"},
-                       "fallback": "other"}},
-    )
-    return out.select("event_id", "category")
-
-
 def _hmac_case_expr() -> str:
     """CASE mapping event_type → HMAC-SHA256 digest, computed by
     Python's stdlib hmac — an independent RFC-2104 implementation, a
@@ -1140,6 +1117,51 @@ def salted_skew_aggregate(spark, sf_dir):
     return salted_group_count(docs, ["lang"], salt_on="text", n_salt=8)
 
 
+def _media_values() -> str:
+    from . import suite_expected_media as _m
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return f"'{v}'"
+        return str(v)
+
+    return ", ".join(
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in _m.MEDIA_FEATURES
+    )
+
+
+@_q(
+    "multimodal_features",
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, kind, "
+    "CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, "
+    "CAST(channels AS INTEGER) AS channels, "
+    "CAST(pixel_checksum AS BIGINT) AS pixel_checksum, "
+    "CAST(sample_rate AS INTEGER) AS sample_rate, "
+    "CAST(n_samples AS BIGINT) AS n_samples, "
+    "CAST(pcm_checksum AS BIGINT) AS pcm_checksum, "
+    "CAST(n_frames AS BIGINT) AS n_frames, decoder FROM (VALUES "
+    + _media_values()
+    + ") AS t(doc_id, kind, width, height, channels, pixel_checksum, "
+    "sample_rate, n_samples, pcm_checksum, n_frames, decoder)",
+)
+def multimodal_features(spark, sf_dir):
+    """Multimodal battery: real BMP image decode (dims + exact pixel
+    checksum), real 16-bit PCM WAV decode (rate / sample count / exact
+    int16² energy checksum) and video frame-sampling counts, unioned
+    into one exact-integer row per media doc. The oracle is a literal
+    VALUES table generated by scripts/gen_multimodal_oracle.py from the
+    PRE-ENCODING arrays plus an independent stdlib-``wave`` decode — so
+    this row differentially tests the engine's encode→Spark→decode
+    round trip end-to-end (reference parity: multimodal columns as
+    first-class pipeline citizens, builder brief)."""
+    from .datapipe.multimodal import gen_media, media_features
+
+    media = gen_media(spark, 96, seed=42)
+    return media_features(media)
+
+
 @_q(
     "textstats_fingerprint",
     """
@@ -1525,6 +1547,10 @@ _TRANSLATE_ORACLE = """
     SELECT event_id,
            CASE event_type
              WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+             WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
+             ELSE 'other' END AS category_inline,
+           CASE event_type
+             WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
              WHEN 'purchase' THEN 'revenue' ELSE 'other' END AS category_file,
            CASE WHEN regexp_matches(event_type, '^(click|view)$') THEN 'engagement'
                 WHEN regexp_matches(event_type, 'chase') THEN 'revenue'
@@ -1537,14 +1563,15 @@ _TRANSLATE_ORACLE = """
     """,
 )
 def translate_dicts(spark, sf_dir):
-    """translate's three non-inline dictionary shapes chained in one
-    pipeline: (1) a FILE dictionary (translate.rb dictionary_path,
-    loaded once at plan time into a literal map); (2) REGEX keys
-    (exact => false — ordered rlike when-chain, first matching key
-    wins); (3) a MULTI-COLUMN DataFrame dimension whose value columns
-    pack into one struct target (the jdbc_static shape the flagship's
-    dominfo uses), struct fields selected as scalars for exact
-    cross-engine comparison."""
+    """translate's four dictionary shapes chained in one pipeline:
+    (1) an INLINE dictionary with a fallback (translate.rb dictionary
+    => {...} + fallback — the default usage); (2) a FILE dictionary
+    (translate.rb dictionary_path, loaded once at plan time into a
+    literal map); (3) REGEX keys (exact => false — ordered rlike
+    when-chain, first matching key wins); (4) a MULTI-COLUMN DataFrame
+    dimension whose value columns pack into one struct target (the
+    jdbc_static shape the flagship's dominfo uses), struct fields
+    selected as scalars for exact cross-engine comparison."""
     import json as _json
 
     path = "/tmp/suite_translate_dict.json"
@@ -1554,6 +1581,13 @@ def translate_dicts(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = apply_stage(
         ev,
+        {"translate": {"source": "event_type", "target": "category_inline",
+                       "dictionary": {"click": "engagement", "view": "engagement",
+                                      "purchase": "revenue", "signup": "growth"},
+                       "fallback": "other"}},
+    )
+    out = apply_stage(
+        out,
         {"translate": {"source": "event_type", "target": "category_file",
                        "dictionary_path": path, "fallback": "other"}},
     )
@@ -1574,7 +1608,7 @@ def translate_dicts(spark, sf_dir):
                        "dictionary_df": dim}},
     )
     return out.select(
-        "event_id", "category_file", "category_rx",
+        "event_id", "category_inline", "category_file", "category_rx",
         F.col("info.category").alias("category_dim"),
         F.col("info.weight").alias("weight"),
     )
@@ -1781,7 +1815,7 @@ _EXPORT_ORDER = [
     "dissect_tokens", "kv_pairs", "json_parse", "csv_parse", "xml_parse",
     "date_multiformat", "multiline_merge",
     # §2.4 mutate family
-    "mutate_chain", "translate_inline", "translate_dicts",
+    "mutate_chain", "translate_dicts",
     "fingerprint_hashes", "mutate_field_hygiene", "truncate_bytes",
     "syslog_pri_decode", "ruby_vectorized_udf", "filters_longtail",
     # §2.4 enrich family
@@ -1798,6 +1832,7 @@ _EXPORT_ORDER = [
     "ngram_jaccard_pairs", "dedup_connected_components",
     "dedup_embedding_neardup", "similarity_topk_battery",
     "textstats_quality", "textstats_fingerprint", "salted_skew_aggregate",
+    "multimodal_features",
 ]
 
 assert len(_EXPORT_ORDER) == 50, len(_EXPORT_ORDER)

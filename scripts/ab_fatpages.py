@@ -1,0 +1,104 @@
+"""A-B the two round-3 changes on the fat-pages corpus (judge round-3 #2).
+
+Round 3 switched (a) sink parquet codec snappy→zstd and (b) Arrow
+maxRecordsPerBatch 10000→2048 in the same round, and the committed
+fatpages bench regressed 6.84 s → 59.96 s. This script isolates the
+two variables: it runs the flagship pipeline over the same staged 60k
+fat-pages corpus (~20 KB html/doc) under all four codec×batch configs,
+round-robin across N trials, in ONE JVM (both confs are runtime-settable
+SQL confs), and prints one JSON line with all readings.
+
+Usage: AB_TRIALS=3 python scripts/ab_fatpages.py
+Writes stdout JSON; commit it as AB_FATPAGES.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STAGE_DIR = os.environ.get("BENCH_STAGE_DIR", "/tmp/logstash_spark_bench")
+N_FAT = int(os.environ.get("BENCH_FAT_PAGES", "60000"))
+TRIALS = int(os.environ.get("AB_TRIALS", "3"))
+
+CONFIGS = [
+    {"codec": "snappy", "arrow": 10000},
+    {"codec": "snappy", "arrow": 2048},
+    {"codec": "zstd", "arrow": 10000},
+    {"codec": "zstd", "arrow": 2048},
+]
+
+
+def main() -> None:
+    from logstash_spark.datagen import gen_pages
+    from logstash_spark.flagship import run_flagship
+    from logstash_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark(
+        "ab_fatpages", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    fat_path = f"{STAGE_DIR}/pages_{N_FAT}_ps40"
+    if not os.path.exists(fat_path + "/_SUCCESS"):
+        gen_pages(spark, N_FAT, para_scale=40).write.mode("overwrite").parquet(fat_path)
+
+    # untimed warmup — JIT/codegen/python-worker startup
+    warm = f"{STAGE_DIR}/pages_warm_2000"
+    if not os.path.exists(warm + "/_SUCCESS"):
+        gen_pages(spark, 2000).write.mode("overwrite").parquet(warm)
+    run_flagship(spark, spark.read.parquet(warm), f"{STAGE_DIR}/ab_warm", n_buckets=8)
+
+    pages = spark.read.parquet(fat_path)
+    readings: dict[str, list[float]] = {}
+    for t in range(TRIALS):
+        for cfg in CONFIGS:
+            key = f"{cfg['codec']}_arrow{cfg['arrow']}"
+            spark.conf.set("spark.sql.parquet.compression.codec", cfg["codec"])
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg["arrow"])
+            )
+            t0 = time.monotonic()
+            m = run_flagship(
+                spark, pages, f"{STAGE_DIR}/ab_run_{key}", n_buckets=64, n_batches=1
+            )
+            dt = round(time.monotonic() - t0, 3)
+            assert m.events_in == N_FAT
+            readings.setdefault(key, []).append(dt)
+            print(f"trial {t} {key}: {dt}s", file=sys.stderr)
+
+    fat_mb = sum(
+        os.path.getsize(os.path.join(fat_path, f))
+        for f in os.listdir(fat_path)
+        if f.endswith(".parquet")
+    ) / 1e6
+    summary = {
+        k: {
+            "min_sec": min(v),
+            "median_sec": sorted(v)[len(v) // 2],
+            "readings": v,
+            "mb_per_sec_at_min": round(fat_mb / min(v), 2),
+        }
+        for k, v in readings.items()
+    }
+    print(
+        json.dumps(
+            {
+                "experiment": "fatpages_codec_x_arrowbatch",
+                "n_pages": N_FAT,
+                "input_mb": round(fat_mb, 1),
+                "trials": TRIALS,
+                "parallelism": spark.sparkContext.defaultParallelism,
+                "configs": summary,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

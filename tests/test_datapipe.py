@@ -193,6 +193,43 @@ def test_multimodal_real_codecs(spark):
     assert multimodal.audio_features(junk).collect()[0].decoder == "fake-sha256"
 
 
+def test_multimodal_corrupt_payloads_never_abort(spark):
+    """Adversarial payloads that historically escaped the ValueError
+    stub-fallback: a RIFF/WAVE with a TRUNCATED fmt chunk used to raise
+    struct.error out of decode_wav (aborting the Spark task on one
+    corrupt payload), and a rate=0 fmt chunk divided by zero. Both must
+    fall to the deterministic stub; truncated BMP headers likewise."""
+    import struct as _s
+
+    import pandas as pd
+
+    def wav_with_fmt(body: bytes) -> bytes:
+        chunks = b"fmt " + _s.pack("<I", len(body)) + body
+        chunks += b"data" + _s.pack("<I", 4) + b"\x00\x00\x01\x00"
+        return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    truncated_fmt = wav_with_fmt(b"\x01\x00")  # 2-byte fmt body
+    zero_rate = wav_with_fmt(_s.pack("<HHIIHH", 1, 1, 0, 0, 2, 16))
+    short_bmp = b"BM" + b"\x00" * 20  # header shorter than 54 bytes
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "kind": ["audio", "audio", "image"],
+            "payload": [truncated_fmt, zero_rate, short_bmp],
+            "media_meta": [("audio/wav", len(truncated_fmt)),
+                           ("audio/wav", len(zero_rate)),
+                           ("image/bmp", len(short_bmp))],
+        }),
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    auds = multimodal.audio_features(media).collect()
+    assert [a.decoder for a in auds] == ["fake-sha256", "fake-sha256"]
+    img = multimodal.decode_images(media).collect()[0]
+    assert img.decoder == "fake-sha256"
+    # the unioned battery over the same corrupt rows also never aborts
+    assert multimodal.media_features(media).count() == 3
+
+
 def test_minhash_hot_bucket_skew(spark):
     """The 100 TB degenerate case: 1k near-identical docs land in the
     same LSH buckets. Representative pairing keeps the join linear in
