@@ -214,6 +214,7 @@ _SINK_NAMERS = {
     "stdout": lambda a: "stdout",
     "csv": lambda a: a.get("path", "csv"),
     "iceberg": lambda a: a.get("table", "iceberg").replace(".", "_"),
+    "kafka": lambda a: a.get("topic_id", "kafka"),
 }
 
 
@@ -255,6 +256,17 @@ def to_pipeline_spec(text: str, pipeline_id: str = "main") -> dict:
             out["table"] = args["table"]
             if name == "iceberg":
                 out["format"] = args.get("format", "iceberg")
+        if name == "kafka":
+            # logstash-output-kafka → router.kafka_sink_frame options
+            out["format"] = "kafka"
+            opts = {}
+            if "bootstrap_servers" in args:
+                opts["kafka.bootstrap.servers"] = str(args["bootstrap_servers"])
+            if "topic_id" in args:
+                opts["topic"] = str(args["topic_id"])
+            if "message_key" in args:
+                opts["message_key"] = str(args["message_key"])
+            out["options"] = opts
         outputs.append(out)
 
     inputs = [{"plugin": name, "args": args} for name, args, _ in sections["input"]]

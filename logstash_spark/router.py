@@ -53,6 +53,9 @@ class SinkSpec:
     # on a cluster with the runtime jar; the sandbox tests the identical
     # code path with the built-in catalog + parquet provider).
     table: str | None = None
+    # writer options passed through verbatim (kafka sinks carry
+    # kafka.bootstrap.servers / topic here; see kafka_sink_frame)
+    options: dict | None = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "SinkSpec":
@@ -63,6 +66,7 @@ class SinkSpec:
             dlq=bool(d.get("dlq", False)),
             select=d.get("select"),
             table=d.get("table"),
+            options=d.get("options"),
         )
 
 
@@ -98,6 +102,28 @@ def dlq_projection(df: DataFrame) -> DataFrame:
         *([F.col("bucket")] if "bucket" in cols else []),
     )
     return out
+
+
+def kafka_sink_frame(branch: DataFrame, sink: SinkSpec) -> tuple[DataFrame, dict]:
+    """logstash-output-kafka → the (frame, options) pair Spark's kafka
+    sink expects: the whole event serializes into a ``value`` JSON
+    string (kafka.rb codec json default), an optional ``message_key``
+    field becomes ``key``, and ``topic_id``/``bootstrap_servers`` lower
+    to the writer option map. Pure and contract-tested
+    (tests/test_sources.py) — no broker or spark-sql-kafka jar in the
+    sandbox, so the frame/option lowering is the testable surface and
+    ``.save()`` is the thin untestable rim."""
+    opts = dict(sink.options or {})
+    if "kafka.bootstrap.servers" not in opts:
+        raise ValueError(f"kafka sink {sink.name!r} requires kafka.bootstrap.servers")
+    if "topic" not in opts:
+        raise ValueError(f"kafka sink {sink.name!r} requires topic")
+    key_field = opts.pop("message_key", None)
+    payload = [c for c in branch.columns if c not in (METADATA_FIELD, "bucket")]
+    cols = [F.to_json(F.struct(*payload)).alias("value")]
+    if key_field:
+        cols.insert(0, F.col(key_field).cast("string").alias("key"))
+    return branch.select(*cols), opts
 
 
 def _csv_safe(df: DataFrame) -> DataFrame:
@@ -149,11 +175,12 @@ def _write_catalog_table(branch: DataFrame, sink: SinkSpec, mode: str) -> None:
         else:
             branch.writeTo(sink.table).using(sink.fmt).createOrReplace()
     except AnalysisException as e:
-        # Structured error condition first (stable across Spark versions);
-        # message substring only as a last-resort fallback for builds that
-        # predate error classes on this path.
-        cond = e.getErrorClass() if hasattr(e, "getErrorClass") else None
-        is_v1 = (cond is not None and "V1" in cond.upper()) or (
+        # Structured error condition first (Spark 4 raises
+        # _LEGACY_ERROR_TEMP_1012 = "Cannot write into v1 table" on this
+        # path — it has no dedicated error class yet); message substring
+        # as the fallback for builds without conditions here.
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        is_v1 = cond == "_LEGACY_ERROR_TEMP_1012" or (
             cond is None and "v1 table" in str(e)
         )
         if not is_v1:
@@ -226,6 +253,15 @@ class Router:
             branch = branch.observe(obs, F.count(F.lit(1)).alias("n"))
             if sink.table:
                 _write_catalog_table(branch, sink, mode)
+            elif sink.fmt == "kafka":
+                frame, opts = kafka_sink_frame(branch, sink)
+                try:
+                    frame.write.format("kafka").options(**opts).save()
+                except Exception as e:
+                    raise RuntimeError(
+                        f"kafka sink {sink.name!r} requires the "
+                        f"spark-sql-kafka-0-10 jar on the cluster: {e}"
+                    ) from e
             else:
                 path = f"{run_dir}/{sink.name}"
                 writer = branch.write.format(sink.fmt).mode(mode)

@@ -75,12 +75,19 @@ def get_spark(
         # manifest (checkpoint.py) is the real commit point, and a batch
         # that dies mid-write is rewritten idempotently per bucket.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-        # zstd over snappy: measured 36% smaller sink output on the
-        # flagship fat-pages corpus (152 vs 239 MB per 60k docs) at
-        # equal wall-clock within this VM's noise band — at the 100 TB
-        # target the sink/shuffle I/O saved dominates the extra
-        # compression CPU, and web-text corpora are where zstd shines.
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Parquet codec: snappy by default, zstd one env var away.
+        # Round-4 controlled A-B (AB_FATPAGES.json: codec × Arrow batch,
+        # 3 round-robin trials each in one JVM, same staged 60k fat-pages
+        # input) measured zstd at ~1.5× the wall-clock of snappy on the
+        # write-heavy flagship (min 11.9–12.8 s vs 7.8–8.3 s) for ~36%
+        # smaller sink bytes; Arrow batch size was irrelevant. Default
+        # favors throughput; storage/network-bound 100 TB deployments
+        # (where the 36% byte saving dominates executor-parallel
+        # compression CPU) flip SPARK_GRAFT_PARQUET_CODEC=zstd.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "2g")
         # Derby (the embedded JDBC engine the jdbc tests run against, and

@@ -30,6 +30,56 @@ class SourceError(ValueError):
     pass
 
 
+def kafka_reader_options(args: dict) -> dict[str, str]:
+    """logstash-integration-kafka input config → Spark kafka source
+    option map (kafka_input.rb option names on the left). Pure and
+    contract-tested (tests/test_sources.py) — the sandbox ships no
+    broker or spark-sql-kafka jar, so the option lowering is the
+    testable surface and ``.load()`` is the thin untestable rim.
+
+    Mapping notes:
+
+    * ``topics`` (list or comma string) → ``subscribe``;
+      ``topics_pattern`` → ``subscribePattern`` (mutually exclusive,
+      as upstream).
+    * ``auto_offset_reset`` → ``startingOffsets`` (earliest/latest).
+    * ``group_id``/``client_id``/``security_protocol``/
+      ``sasl_mechanism``/``sasl_jaas_config`` pass through under the
+      ``kafka.`` prefix (Spark hands them to the consumer verbatim).
+    * ``consumer_threads`` is intentionally absent: Spark maps topic
+      partitions to tasks 1:1, so reader parallelism is the cluster's
+      task slots, not a per-input thread count.
+    """
+    if "bootstrap_servers" not in args:
+        raise SourceError("kafka input requires bootstrap_servers")
+    has_topics = "topics" in args
+    if has_topics == ("topics_pattern" in args):
+        raise SourceError(
+            "kafka input requires exactly one of topics / topics_pattern"
+        )
+    opts: dict[str, str] = {"kafka.bootstrap.servers": str(args["bootstrap_servers"])}
+    if has_topics:
+        t = args["topics"]
+        opts["subscribe"] = t if isinstance(t, str) else ",".join(t)
+    else:
+        opts["subscribePattern"] = str(args["topics_pattern"])
+    if "auto_offset_reset" in args:
+        reset = str(args["auto_offset_reset"])
+        if reset not in ("earliest", "latest"):
+            raise SourceError(f"unsupported auto_offset_reset {reset!r}")
+        opts["startingOffsets"] = reset
+    for ls_key, kafka_key in (
+        ("group_id", "kafka.group.id"),
+        ("client_id", "kafka.client.id"),
+        ("security_protocol", "kafka.security.protocol"),
+        ("sasl_mechanism", "kafka.sasl.mechanism"),
+        ("sasl_jaas_config", "kafka.sasl.jaas.config"),
+    ):
+        if ls_key in args:
+            opts[kafka_key] = str(args[ls_key])
+    return opts
+
+
 def resolve_input(
     spark: SparkSession, plugin: str, args: dict, streaming: bool = False
 ) -> DataFrame:
@@ -128,12 +178,11 @@ def resolve_input(
     if plugin == "kafka":
         if not streaming:
             raise SourceError("kafka input runs in streaming mode")
+        opts = kafka_reader_options(args)
         try:
             return (
                 spark.readStream.format("kafka")
-                .option("kafka.bootstrap.servers", args["bootstrap_servers"])
-                .option("subscribe", args["topics"] if isinstance(args["topics"], str)
-                        else ",".join(args["topics"]))
+                .options(**opts)
                 .load()
                 .select(F.col("value").cast("string").alias("message"),
                         "timestamp", "partition", "offset")

@@ -144,33 +144,46 @@ def main():
             walls_by_level[cores].append(last["wall_sec"])
             print(f"local[{cores}] trial{t}: {last['wall_sec']}s", file=sys.stderr)
 
+    import statistics
+
     for cores in LEVELS:
         walls = walls_by_level[cores]
         last = last_by_level[cores]
         best = min(walls)
+        med = statistics.median(walls)
         results[cores] = {
             "wall_sec_best": best,
+            "wall_sec_median": med,
             "wall_sec_trials": walls,
             "docs_per_sec": round(n_pages / best, 1),
+            "docs_per_sec_median": round(n_pages / med, 1),
             "mb_per_sec": round(total_bytes / 1e6 / best, 2),
             "events_in": last["events_in"],
             "events_out": last["events_out"],
             "sinks": last["sinks"],
         }
 
-    def eff(lo, hi):
-        return round(
-            (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo), 3
-        )
+    def eff(lo, hi, key="docs_per_sec_median"):
+        return round((results[hi][key] / results[lo][key]) / (hi / lo), 3)
 
     pairs = {
         f"scaling_efficiency_{lo}_to_{hi}": eff(lo, hi)
         for lo, hi in zip(LEVELS, LEVELS[1:])
     }
     # the graded N->4N criterion: the lowest-parallelism 4x pair (the
-    # honest proxy — furthest from single-box saturation artifacts)
+    # honest proxy — furthest from single-box saturation artifacts).
+    # Gated on MEDIAN trial walls, not minima (round-3 judge/advisor:
+    # min-of-N under 9x host noise let a single uncontended trial carry
+    # the pass); best-based efficiency is still reported alongside.
     four_x = [(lo, hi) for lo, hi in zip(LEVELS, LEVELS[1:]) if hi == 4 * lo]
     crit = eff(*four_x[0]) if four_x else None
+    crit_best = eff(*four_x[0], key="docs_per_sec") if four_x else None
+    # a run is CLEAN when no level's trial spread exceeds 2x — the
+    # round-3 verdict's bar for the criterion resting on typical trials
+    # rather than one lucky sample
+    clean = all(
+        max(w) / min(w) <= 2.0 for w in walls_by_level.values() if min(w) > 0
+    )
     out = {
         "n_pages": n_pages,
         "para_scale": para_scale,
@@ -179,6 +192,10 @@ def main():
         **pairs,
         "criterion_pair": f"{four_x[0][0]}->{four_x[0][1]}" if four_x else None,
         "target": 0.8,
+        "criterion_basis": "median",
+        "criterion_efficiency_median": crit,
+        "criterion_efficiency_best": crit_best,
+        "clean_run_all_levels_within_2x": clean,
         "meets_target": (crit is not None and crit >= 0.8),
         "per_sink_counts_equal_across_levels": all(
             results[c]["sinks"] == results[LEVELS[0]]["sinks"] for c in LEVELS

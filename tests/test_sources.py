@@ -142,3 +142,116 @@ def test_catalog_table_sink_overwrite_and_append(spark):
     finally:
         df.unpersist()
         spark.sql("DROP TABLE IF EXISTS ls_sink_out")
+
+
+def test_kafka_input_option_contract(spark):
+    """Contract tests for the kafka input lowering (no broker or
+    spark-sql-kafka jar in the sandbox — the option map IS the testable
+    surface; see kafka_reader_options docstring)."""
+    from logstash_spark.sources import kafka_reader_options
+
+    # the logstash-integration-kafka default shape
+    assert kafka_reader_options(
+        {"bootstrap_servers": "k1:9092,k2:9092", "topics": ["logs", "audit"],
+         "group_id": "logstash", "auto_offset_reset": "earliest"}
+    ) == {
+        "kafka.bootstrap.servers": "k1:9092,k2:9092",
+        "subscribe": "logs,audit",
+        "kafka.group.id": "logstash",
+        "startingOffsets": "earliest",
+    }
+    # topics_pattern and security passthrough
+    assert kafka_reader_options(
+        {"bootstrap_servers": "k:9092", "topics_pattern": "logs-.*",
+         "security_protocol": "SASL_SSL", "sasl_mechanism": "PLAIN"}
+    ) == {
+        "kafka.bootstrap.servers": "k:9092",
+        "subscribePattern": "logs-.*",
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.sasl.mechanism": "PLAIN",
+    }
+    with pytest.raises(SourceError, match="bootstrap_servers"):
+        kafka_reader_options({"topics": "t"})
+    with pytest.raises(SourceError, match="exactly one"):
+        kafka_reader_options({"bootstrap_servers": "k", "topics": "t",
+                              "topics_pattern": "t.*"})
+    with pytest.raises(SourceError, match="exactly one"):
+        kafka_reader_options({"bootstrap_servers": "k"})
+    with pytest.raises(SourceError, match="auto_offset_reset"):
+        kafka_reader_options({"bootstrap_servers": "k", "topics": "t",
+                              "auto_offset_reset": "none"})
+    # batch mode is a hard error (kafka input is streaming-only here)
+    with pytest.raises(SourceError, match="streaming"):
+        resolve_input(spark, "kafka",
+                      {"bootstrap_servers": "k", "topics": "t"}, streaming=False)
+    # with valid options but no jar, the error names the missing jar
+    with pytest.raises(SourceError, match="spark-sql-kafka"):
+        resolve_input(spark, "kafka",
+                      {"bootstrap_servers": "k", "topics": "t"}, streaming=True)
+
+
+def test_kafka_sink_contract(spark):
+    """kafka_sink_frame lowers the event frame + sink options to Spark's
+    kafka sink shape; executing without the jar raises a clear error."""
+    from logstash_spark.router import Router, SinkSpec, kafka_sink_frame
+
+    df = spark.createDataFrame(
+        [("u1", "en", 0), ("u2", "de", 1)], "url string, lang string, bucket int"
+    )
+    sink = SinkSpec(
+        name="events_out", fmt="kafka",
+        options={"kafka.bootstrap.servers": "k:9092", "topic": "out",
+                 "message_key": "url"},
+    )
+    frame, opts = kafka_sink_frame(df, sink)
+    assert frame.columns == ["key", "value"]
+    assert opts == {"kafka.bootstrap.servers": "k:9092", "topic": "out"}
+    rows = {r.key: r.value for r in frame.collect()}
+    import json as _json
+
+    # whole event serialized as JSON value; bucket (partitioning
+    # plumbing) excluded
+    assert _json.loads(rows["u1"]) == {"url": "u1", "lang": "en"}
+
+    # without message_key: value-only frame
+    frame2, _ = kafka_sink_frame(
+        df, SinkSpec(name="s", fmt="kafka",
+                     options={"kafka.bootstrap.servers": "k", "topic": "t"})
+    )
+    assert frame2.columns == ["value"]
+
+    for bad in ({}, {"topic": "t"}, {"kafka.bootstrap.servers": "k"}):
+        with pytest.raises(ValueError, match="requires"):
+            kafka_sink_frame(df, SinkSpec(name="s", fmt="kafka", options=bad))
+
+    # executing the real writer without the jar: clear RuntimeError
+    router = Router([sink])
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        router.write_batch(df.persist(), run_dir="/tmp/unused")
+    df.unpersist()
+
+
+def test_kafka_lscl_lowering():
+    """kafka output {} in a logstash config lowers to a kafka SinkSpec."""
+    from logstash_spark.lscl import to_pipeline_spec
+
+    spec = to_pipeline_spec(
+        """
+        input { kafka { bootstrap_servers => "k:9092" topics => ["logs"] } }
+        output {
+          kafka {
+            bootstrap_servers => "k:9092"
+            topic_id => "enriched"
+            message_key => "url"
+          }
+        }
+        """
+    )
+    assert spec["inputs"][0]["plugin"] == "kafka"
+    (out,) = spec["outputs"]
+    assert out["name"] == "enriched" and out["format"] == "kafka"
+    assert out["options"] == {
+        "kafka.bootstrap.servers": "k:9092",
+        "topic": "enriched",
+        "message_key": "url",
+    }
