@@ -7,9 +7,14 @@ Reference counterparts:
   conversions ``%{NUMBER:bytes:int}``);
 * pattern library — logstash-patterns-core:patterns/legacy/grok-patterns
   (the named patterns below are an independently written, functionally
-  equivalent subset covering the Apache/syslog families; Oniguruma
-  constructs outside Python ``re`` — possessive quantifiers, named
-  char classes — are documented unsupported, SURVEY §7 risks).
+  equivalent set; name coverage is audited per upstream pattern file in
+  tests/test_grok_manifest.py). Oniguruma dialect status (SURVEY §7
+  risk, resolved round 4): possessive quantifiers (``a++``) and atomic
+  groups (``(?>…)``) are natively supported by BOTH execution dialects
+  (Python ≥ 3.11 ``re``; java.util.regex); POSIX bracket classes
+  (``[[:alpha:]]``) translate at compile time
+  (``translate_posix_classes``); negated POSIX classes and named
+  Oniguruma callouts remain unsupported with loud errors.
 
 Spark mapping (SURVEY §2.4): the grok expression compiles at plan time
 into ONE Python regex with named groups; execution is a vectorized
@@ -255,15 +260,53 @@ CORE_PATTERNS: dict[str, str] = {
         r"%{GREEDYDATA:timedout}\t%{GREEDYDATA:parent_fuid}\t%{GREEDYDATA:md5}\t"
         r"%{GREEDYDATA:sha1}\t%{GREEDYDATA:sha256}\t%{GREEDYDATA:extracted}"
     ),
-    # zeek: the renamed modern family (ecs-v1 pattern file) over the
-    # same TSV shapes — aliases so configs written against either
-    # generation of the pattern names port unchanged
+    # zeek: the MODERN (Zeek >= 3) TSV layouts, matching the upstream
+    # ecs-v1 zeek pattern file — NOT aliases of the legacy BRO_* shapes:
+    # http.log adds version/origin/orig_filenames/resp_filenames (and
+    # drops the single filename column), dns.log adds rtt. ZEEK_CONN /
+    # ZEEK_FILES are extensions beyond the upstream file (which carries
+    # only http/dns) covering Zeek 3 defaults: conn.log adds local_resp,
+    # files.log adds extracted_cutoff/extracted_size. Legacy-shaped logs
+    # keep matching via the BRO_* names above.
     "ZEEK_BOOL": r"[TF]",
     "ZEEK_DATA": r"[^\t]+",
-    "ZEEK_HTTP": r"%{BRO_HTTP}",
-    "ZEEK_DNS": r"%{BRO_DNS}",
-    "ZEEK_CONN": r"%{BRO_CONN}",
-    "ZEEK_FILES": r"%{BRO_FILES}",
+    "ZEEK_HTTP": (
+        r"%{NUMBER:ts}\t%{NOTSPACE:uid}\t%{IP:orig_h}\t%{INT:orig_p}\t%{IP:resp_h}\t%{INT:resp_p}\t"
+        r"%{INT:trans_depth}\t%{ZEEK_DATA:method}\t%{ZEEK_DATA:domain}\t%{ZEEK_DATA:uri}\t"
+        r"%{ZEEK_DATA:referrer}\t%{ZEEK_DATA:version}\t%{ZEEK_DATA:user_agent}\t%{ZEEK_DATA:origin}\t"
+        r"%{NUMBER:request_body_len}\t%{NUMBER:response_body_len}\t%{ZEEK_DATA:status_code}\t"
+        r"%{ZEEK_DATA:status_msg}\t%{ZEEK_DATA:info_code}\t%{ZEEK_DATA:info_msg}\t"
+        r"%{ZEEK_DATA:zeek_tags}\t%{ZEEK_DATA:username}\t%{ZEEK_DATA:password}\t"
+        r"%{ZEEK_DATA:proxied}\t%{ZEEK_DATA:orig_fuids}\t%{ZEEK_DATA:orig_filenames}\t"
+        r"%{ZEEK_DATA:orig_mime_types}\t%{ZEEK_DATA:resp_fuids}\t%{ZEEK_DATA:resp_filenames}\t"
+        r"%{ZEEK_DATA:resp_mime_types}"
+    ),
+    "ZEEK_DNS": (
+        r"%{NUMBER:ts}\t%{NOTSPACE:uid}\t%{IP:orig_h}\t%{INT:orig_p}\t%{IP:resp_h}\t%{INT:resp_p}\t"
+        r"%{WORD:proto}\t%{INT:trans_id}\t%{ZEEK_DATA:rtt}\t%{ZEEK_DATA:query}\t%{ZEEK_DATA:qclass}\t"
+        r"%{ZEEK_DATA:qclass_name}\t%{ZEEK_DATA:qtype}\t%{ZEEK_DATA:qtype_name}\t"
+        r"%{ZEEK_DATA:rcode}\t%{ZEEK_DATA:rcode_name}\t%{ZEEK_BOOL:AA}\t%{ZEEK_BOOL:TC}\t"
+        r"%{ZEEK_BOOL:RD}\t%{ZEEK_BOOL:RA}\t%{NONNEGINT:Z}\t%{ZEEK_DATA:answers}\t"
+        r"%{ZEEK_DATA:TTLs}\t%{ZEEK_BOOL:rejected}"
+    ),
+    "ZEEK_CONN": (
+        r"%{NUMBER:ts}\t%{NOTSPACE:uid}\t%{IP:orig_h}\t%{INT:orig_p}\t%{IP:resp_h}\t%{INT:resp_p}\t"
+        r"%{WORD:proto}\t%{ZEEK_DATA:service}\t%{ZEEK_DATA:duration}\t%{ZEEK_DATA:orig_bytes}\t"
+        r"%{ZEEK_DATA:resp_bytes}\t%{ZEEK_DATA:conn_state}\t%{ZEEK_DATA:local_orig}\t"
+        r"%{ZEEK_DATA:local_resp}\t%{ZEEK_DATA:missed_bytes}\t%{ZEEK_DATA:history}\t"
+        r"%{ZEEK_DATA:orig_pkts}\t%{ZEEK_DATA:orig_ip_bytes}\t%{ZEEK_DATA:resp_pkts}\t"
+        r"%{ZEEK_DATA:resp_ip_bytes}\t%{ZEEK_DATA:tunnel_parents}"
+    ),
+    "ZEEK_FILES": (
+        r"%{NUMBER:ts}\t%{NOTSPACE:fuid}\t%{ZEEK_DATA:tx_hosts}\t%{ZEEK_DATA:rx_hosts}\t"
+        r"%{ZEEK_DATA:conn_uids}\t%{ZEEK_DATA:source}\t%{ZEEK_DATA:depth}\t%{ZEEK_DATA:analyzers}\t"
+        r"%{ZEEK_DATA:mime_type}\t%{ZEEK_DATA:filename}\t%{ZEEK_DATA:duration}\t"
+        r"%{ZEEK_DATA:local_orig}\t%{ZEEK_DATA:is_orig}\t%{ZEEK_DATA:seen_bytes}\t"
+        r"%{ZEEK_DATA:total_bytes}\t%{ZEEK_DATA:missing_bytes}\t%{ZEEK_DATA:overflow_bytes}\t"
+        r"%{ZEEK_DATA:timedout}\t%{ZEEK_DATA:parent_fuid}\t%{ZEEK_DATA:md5}\t"
+        r"%{ZEEK_DATA:sha1}\t%{ZEEK_DATA:sha256}\t%{ZEEK_DATA:extracted}\t"
+        r"%{ZEEK_DATA:extracted_cutoff}\t%{ZEEK_DATA:extracted_size}"
+    ),
     # ---- nagios core log (nagios pattern file equivalents) ----
     "NAGIOS_TYPE_CURRENT_SERVICE_STATE": r"CURRENT SERVICE STATE",
     "NAGIOS_TYPE_CURRENT_HOST_STATE": r"CURRENT HOST STATE",
@@ -706,6 +749,49 @@ CORE_PATTERNS: dict[str, str] = {
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
 _MAX_DEPTH = 50
 
+# Oniguruma POSIX bracket classes → Python/Java class bodies. Upstream
+# patterns write these inside character classes ([[:alnum:]_-]); Python
+# re and Java regex lack the syntax, so the compiler substitutes the
+# equivalent ASCII ranges (grok semantics are ASCII here). Possessive
+# quantifiers (a++/a*+/a?+) and atomic groups ((?>...)) need NO
+# translation: Python >= 3.11 and Java support both natively on the
+# pandas and regexp_extract paths alike.
+_POSIX_CLASSES = {
+    "alnum": "0-9A-Za-z",
+    "alpha": "A-Za-z",
+    "blank": " \\t",
+    "cntrl": "\\x00-\\x1f\\x7f",
+    "digit": "0-9",
+    "graph": "\\x21-\\x7e",
+    "lower": "a-z",
+    "print": "\\x20-\\x7e",
+    "punct": "!-/:-@\\[-`{-~",
+    "space": "\\s",
+    "upper": "A-Z",
+    "word": "\\w",
+    "xdigit": "0-9A-Fa-f",
+}
+_POSIX_REF = re.compile(r"\[:(\^?)([a-z]+):\]")
+
+
+def translate_posix_classes(pattern: str) -> str:
+    """Substitute ``[:name:]`` tokens with their ASCII class bodies.
+    Negated forms (``[:^alpha:]``) have no safe inline equivalent inside
+    a larger class — rejected loudly rather than silently mis-matching."""
+
+    def repl(m: re.Match) -> str:
+        neg, name = m.group(1), m.group(2)
+        if name not in _POSIX_CLASSES:
+            raise ValueError(f"unknown POSIX class [:{name}:]")
+        if neg:
+            raise ValueError(
+                f"negated POSIX class [:^{name}:] is unsupported — "
+                f"rewrite as an explicit negated character class"
+            )
+        return _POSIX_CLASSES[name]
+
+    return _POSIX_REF.sub(repl, pattern)
+
 
 @dataclass
 class CompiledGrok:
@@ -751,7 +837,7 @@ def compile_grok(
 
         return _GROK_REF.sub(repl, pat)
 
-    expanded = expand(pattern, 0)
+    expanded = translate_posix_classes(expand(pattern, 0))
     return CompiledGrok(regex=re.compile(expanded), fields=fields)
 
 

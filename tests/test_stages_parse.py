@@ -248,7 +248,9 @@ def test_grok_pattern_library_compiles():
             '[Fri Sep 09 10:42:29 2011] [core:error] [pid 35708:tid 4328636416] '
             '[client 72.15.99.187:51000] File does not exist: /htdocs/favicon.ico'),
         "MAVEN_VERSION": '3.8.1-SNAPSHOT',
-        "ZEEK_HTTP": (
+        # legacy Bro column layout (27 cols); the modern 30-col Zeek >= 3
+        # layout is ZEEK_HTTP, vectored in tests/test_grok_manifest.py
+        "BRO_HTTP": (
             '1258567891.123456\tCuid1\t10.0.0.1\t53812\t93.184.216.34\t80\t1\t'
             'GET\texample.com\t/index\t-\tMozilla\t0\t1024\t200\tOK\t-\t-\t-\t'
             '-\t-\t-\t-\t-\t-\t-\ttext/html'),
