@@ -1,0 +1,153 @@
+"""NetFlow v5 codec: pure-numpy vectorized datagram decoder.
+
+Reference counterpart: logstash-codec-netflow
+(lib/logstash/codecs/netflow.rb, v5 template) — decodes router-exported
+NetFlow datagrams into one event per flow record. v5 is a fixed binary
+layout (public Cisco spec): a 24-byte big-endian header (version,
+count, sys_uptime, unix_secs, unix_nsecs, flow_sequence, engine,
+sampling) followed by ``count`` 48-byte flow records.
+
+Spark re-expression: a ``binaryFile`` scan (one row per datagram file /
+captured payload) → ``mapInPandas`` where each datagram's record block
+is parsed with ONE ``np.frombuffer`` against a big-endian structured
+dtype — no per-record Python loop; per-batch cost is a handful of numpy
+array ops regardless of record count. Corrupt payloads never abort the
+job (multimodal "never aborts" contract): they yield a single row with
+null fields and ``error`` set.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+HEADER_LEN = 24
+RECORD_LEN = 48
+
+# big-endian structured dtype over the 48-byte v5 flow record
+_RECORD_DTYPE = np.dtype([
+    ("srcaddr", ">u4"), ("dstaddr", ">u4"), ("nexthop", ">u4"),
+    ("input", ">u2"), ("output", ">u2"),
+    ("packets", ">u4"), ("octets", ">u4"),
+    ("first", ">u4"), ("last", ">u4"),
+    ("srcport", ">u2"), ("dstport", ">u2"),
+    ("pad1", "u1"), ("tcp_flags", "u1"), ("protocol", "u1"), ("tos", "u1"),
+    ("src_as", ">u2"), ("dst_as", ">u2"),
+    ("src_mask", "u1"), ("dst_mask", "u1"), ("pad2", ">u2"),
+])
+assert _RECORD_DTYPE.itemsize == RECORD_LEN
+
+NETFLOW_SCHEMA = (
+    "flow_sequence long, unix_secs long, sys_uptime long, "
+    "srcaddr string, dstaddr string, srcport int, dstport int, "
+    "protocol int, tcp_flags int, tos int, packets long, octets long, "
+    "first_uptime_ms long, last_uptime_ms long, src_as int, dst_as int, "
+    "src_mask int, dst_mask int, error string"
+)
+
+
+def _dotted(a: np.ndarray) -> pd.Series:
+    """uint32 array → dotted-quad strings, vectorized (no per-row loop)."""
+    return (
+        pd.Series(a >> 24).astype(str) + "."
+        + pd.Series((a >> 16) & 0xFF).astype(str) + "."
+        + pd.Series((a >> 8) & 0xFF).astype(str) + "."
+        + pd.Series(a & 0xFF).astype(str)
+    )
+
+
+def decode_v5_datagram(payload: bytes) -> pd.DataFrame:
+    """One datagram → one DataFrame of flow records (or one error row)."""
+
+    def err(msg: str) -> pd.DataFrame:
+        row = {f.split()[0]: None for f in NETFLOW_SCHEMA.split(", ")}
+        row["error"] = msg
+        return pd.DataFrame([row])
+
+    if payload is None or len(payload) < HEADER_LEN:
+        return err(f"short datagram ({0 if payload is None else len(payload)} B)")
+    version, count, sys_uptime, unix_secs, _nsecs, flow_seq = struct.unpack_from(
+        ">HHIIII", payload, 0
+    )
+    if version != 5:
+        return err(f"unsupported netflow version {version} (v5 only)")
+    need = HEADER_LEN + count * RECORD_LEN
+    if len(payload) < need:
+        return err(f"truncated datagram: {len(payload)} B < {need} B for "
+                   f"{count} records")
+    rec = np.frombuffer(payload, dtype=_RECORD_DTYPE, count=count,
+                        offset=HEADER_LEN)
+    out = pd.DataFrame({
+        "flow_sequence": np.int64(flow_seq),
+        "unix_secs": np.int64(unix_secs),
+        "sys_uptime": np.int64(sys_uptime),
+        "srcaddr": _dotted(rec["srcaddr"]),
+        "dstaddr": _dotted(rec["dstaddr"]),
+        "srcport": rec["srcport"].astype("int32"),
+        "dstport": rec["dstport"].astype("int32"),
+        "protocol": rec["protocol"].astype("int32"),
+        "tcp_flags": rec["tcp_flags"].astype("int32"),
+        "tos": rec["tos"].astype("int32"),
+        "packets": rec["packets"].astype("int64"),
+        "octets": rec["octets"].astype("int64"),
+        "first_uptime_ms": rec["first"].astype("int64"),
+        "last_uptime_ms": rec["last"].astype("int64"),
+        "src_as": rec["src_as"].astype("int32"),
+        "dst_as": rec["dst_as"].astype("int32"),
+        "src_mask": rec["src_mask"].astype("int32"),
+        "dst_mask": rec["dst_mask"].astype("int32"),
+        "error": None,
+    })
+    return out
+
+
+def decode_frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body over binaryFile rows (column ``content``)."""
+    for pdf in it:
+        frames = [decode_v5_datagram(p) for p in pdf["content"]]
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+
+def encode_v5_datagram(
+    records: list[dict],
+    sys_uptime: int = 1_000,
+    unix_secs: int = 1_700_000_000,
+    flow_sequence: int = 0,
+) -> bytes:
+    """Test-side encoder (differential fixture generator): dict records
+    with the _RECORD_DTYPE field names; missing fields default 0.
+    ``srcaddr``/``dstaddr``/``nexthop`` accept dotted-quad strings."""
+
+    def ip_int(v) -> int:
+        if isinstance(v, str):
+            a, b, c, d = (int(x) for x in v.split("."))
+            return (a << 24) | (b << 16) | (c << 8) | d
+        return int(v or 0)
+
+    header = struct.pack(
+        ">HHIIIIBBH", 5, len(records), sys_uptime, unix_secs, 0,
+        flow_sequence, 0, 0, 0,
+    )
+    arr = np.zeros(len(records), dtype=_RECORD_DTYPE)
+    for i, r in enumerate(records):
+        for k in _RECORD_DTYPE.names:
+            if k in r:
+                arr[i][k] = ip_int(r[k]) if k in ("srcaddr", "dstaddr",
+                                                  "nexthop") else int(r[k])
+    return header + arr.tobytes()
+
+
+def read_netflow(spark, path: str, streaming: bool = False):
+    """binaryFile scan → vectorized decode; one row per flow record."""
+    reader = spark.readStream if streaming else spark.read
+    binf = reader.format("binaryFile")
+    if streaming:
+        binf = binf.schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+    files = binf.load(path)
+    return files.select("content").mapInPandas(decode_frames, schema=NETFLOW_SCHEMA)

@@ -99,6 +99,10 @@ def resolve_input(
             return df.withColumnRenamed("value", "message")
         if fmt == "avro":
             return _read_avro(spark, path, args, streaming)
+        if fmt == "netflow":
+            from .netflow_codec import read_netflow
+
+            return read_netflow(spark, path, streaming)
         if streaming and "schema" not in args:
             raise SourceError(f"streaming {fmt} input requires schema => '<ddl>'")
         if "schema" in args:

@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..fieldref import field_col
+from ..fieldref import field_col, field_name
 from .base import Stage, add_tags, register
 
 
@@ -362,6 +362,159 @@ class CidrStage(Stage):
         return df.withColumn("__matched", cond), F.col("__matched")
 
 
+def load_hosts_file(path: str) -> dict[str, str]:
+    """/etc/hosts-format snapshot → {name: address}. First mapping per
+    name wins (resolver semantics); aliases on the same line map to the
+    same address. The file is read ONCE at plan time — the broadcast
+    snapshot is this engine's analog of dns.rb's ``hit_cache``."""
+    out: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            addr, *names = parts
+            for n in names:
+                out.setdefault(n.lower(), addr)
+    return out
+
+
+@register("dns")
+class DnsStage(Stage):
+    """logstash-filter-dns:lib/logstash/filters/dns.rb — resolve
+    hostnames to addresses (A-record, ``resolve``) and addresses to
+    hostnames (PTR, ``reverse``) in place.
+
+    conf:
+      resolve: [field, …] — values are hostnames, looked up → address
+      reverse: [field, …] — values are addresses, looked up → hostname
+      action: "append" (dns.rb default: field becomes an array with the
+        resolved value appended) | "replace" (scalar swap in place)
+      hosts: inline {name: address} dict  |  hosts_path: /etc/hosts-
+        format file (plan-time load)  |  hosts_df: DataFrame whose first
+        two columns are (name, address) → broadcast hash join
+      tag_on_miss: optional tag when any requested lookup misses
+        (engine extension; dns.rb's only failure tag is
+        ``tag_on_timeout``, meaningless without a live resolver)
+
+    Spark re-expression — and the one deliberate deviation: dns.rb
+    queries a LIVE resolver per event behind an LRU ``hit_cache``. A
+    live lookup inside a distributed job is non-deterministic,
+    rate-limited, and a per-row blocking syscall, so this stage takes
+    the resolution table as an explicit **broadcast snapshot** (the
+    same pattern as translate/jdbc_static): dict/hosts file → plan-time
+    ``create_map`` literal (zero joins, whole-stage codegen); DataFrame
+    → broadcast hash join, no shuffle on the fact side. Snapshot
+    refresh cadence is per micro-batch run, exactly like translate's
+    ``refresh_interval`` equivalence. Per dns.rb, a failed lookup
+    leaves the field unchanged and the filter only counts as matched
+    (common options applied) when ALL requested lookups succeed.
+    Typed-column note for ``append``: Spark columns are uniformly
+    typed, so append mode casts the field to array<string> for every
+    row — hit → [original, resolved], miss → [original] (the reference
+    leaves misses scalar; documented deviation).
+    """
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        out = [field_name(f) for f in
+               list(self.conf.get("resolve", [])) + list(self.conf.get("reverse", []))]
+        if self.conf.get("tag_on_miss"):
+            out.append("tags")
+        return out
+
+    def _snapshot(self) -> dict[str, str] | None:
+        if "hosts" in self.conf:
+            return {str(k).lower(): str(v) for k, v in self.conf["hosts"].items()}
+        if "hosts_path" in self.conf:
+            return load_hosts_file(self.conf["hosts_path"])
+        return None
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        resolve = list(self.conf.get("resolve", []))
+        reverse = list(self.conf.get("reverse", []))
+        action = self.conf.get("action", "append")
+        if action not in ("append", "replace"):
+            raise ValueError(f"dns: action must be append|replace, got {action!r}")
+        if not resolve and not reverse:
+            raise ValueError("dns: need at least one of resolve/reverse")
+
+        snap = self._snapshot()
+        hosts_df: DataFrame | None = self.conf.get("hosts_df")
+        if snap is None and hosts_df is None:
+            raise ValueError(
+                "dns: a resolution snapshot is required (hosts / hosts_path / "
+                "hosts_df) — live resolvers are per-row blocking syscalls and "
+                "non-deterministic across executors; snapshot-join instead"
+            )
+
+        def lookup(src: Column, direction: str, i: int) -> tuple[Column, str | None]:
+            """Returns (resolved-value column, tmp-column-to-drop|None).
+            Forward lowers the name through lower() (DNS names are
+            case-insensitive); reverse keys on the address verbatim."""
+            nonlocal df
+            key = F.lower(src) if direction == "fwd" else src
+            if snap is not None:
+                table = snap if direction == "fwd" else {
+                    v: k for k, v in reversed(list(snap.items()))
+                }
+                if not table:
+                    return F.lit(None).cast("string"), None
+                m = F.create_map(
+                    *[x for k, v in table.items() for x in (F.lit(k), F.lit(v))]
+                )
+                return m[key], None
+            name_c, addr_c = hosts_df.columns[:2]
+            k_col, v_col = (
+                (F.lower(F.col(name_c)), F.col(addr_c)) if direction == "fwd"
+                else (F.col(addr_c), F.col(name_c))
+            )
+            tmp = f"__dns_{direction}_{i}"
+            dim = (
+                hosts_df.select(k_col.alias(tmp + "_k"), v_col.alias(tmp + "_v"))
+                .groupBy(tmp + "_k").agg(F.first(tmp + "_v").alias(tmp + "_v"))
+            )
+            df = df.join(F.broadcast(dim), key == F.col(tmp + "_k"), "left").drop(tmp + "_k")
+            return F.col(tmp + "_v"), tmp + "_v"
+
+        all_hit = F.lit(True)
+        any_requested_miss = F.lit(False)
+        writes: list[tuple[str, Column]] = []
+        drops: list[str] = []
+        for i, (field, direction) in enumerate(
+            [(f, "fwd") for f in resolve] + [(f, "rev") for f in reverse]
+        ):
+            src = field_col(field)
+            val, tmp = lookup(src, direction, i)
+            if tmp is not None:
+                drops.append(tmp)
+            hit = val.isNotNull()
+            all_hit = all_hit & (src.isNull() | hit)
+            any_requested_miss = any_requested_miss | (src.isNotNull() & ~hit)
+            if action == "replace":
+                new = F.when(hit, val).otherwise(src)
+            else:
+                new = F.when(hit, F.array(src, val)).otherwise(F.array(src))
+            writes.append((field_name(field), new))
+        # materialize the predicates BEFORE the in-place overwrites:
+        # `hit` references the source field, and replace mode rewrites
+        # that very column — a lazily-kept expression would re-resolve
+        # against the RESOLVED value (always a miss) after the write
+        df = df.withColumn("__matched", all_hit).withColumn(
+            "__dns_miss", any_requested_miss
+        )
+        for name, col in writes:
+            df = df.withColumn(name, col)
+        for d in drops:
+            df = df.drop(d)
+        tag_on_miss = self.conf.get("tag_on_miss")
+        if tag_on_miss:
+            df = add_tags(df, [tag_on_miss], F.col("__dns_miss"))
+        return df.drop("__dns_miss"), F.col("__matched")
+
+
 @register("tld")
 class TldStage(Stage):
     """logstash-filter-tld-style domain/suffix extraction.
@@ -387,3 +540,180 @@ class TldStage(Stage):
         expr = chain.otherwise(F.lit(None)) if chain is not None else expr
         df = df.withColumn("tld", expr)
         return df, F.col("tld").isNotNull()
+
+
+# java.sql.Types code → Spark type for jdbc_streaming result columns.
+# Resolved from PreparedStatement metadata BEFORE execution, so the
+# target schema is deterministic even when every lookup returns 0 rows.
+_JDBC_TYPE_MAP = {
+    4: "long", -5: "long", 5: "long", -6: "long",          # INT/BIGINT/SMALL/TINY
+    12: "string", 1: "string", -1: "string", -9: "string",  # VARCHAR/CHAR/LONG/N
+    8: "double", 6: "double", 7: "double",                  # DOUBLE/FLOAT/REAL
+    3: "double", 2: "double",                               # DECIMAL/NUMERIC (doc'd)
+    16: "boolean",
+    93: "string", 91: "string", 92: "string",               # TS/DATE/TIME → ISO str
+}
+
+
+@register("jdbc_streaming")
+class JdbcStreamingStage(Stage):
+    """logstash-integration-jdbc:lib/logstash/filters/jdbc_streaming.rb —
+    per-event parameterized SQL lookup: ``statement`` with ``:name``
+    placeholders bound from event fields via ``parameters``, result
+    rows (array of row-structs) stored in ``target``.
+
+    conf: jdbc_connection_string, jdbc_driver_class, statement,
+    parameters ({param: field_ref}), target, default_hash (used when a
+    lookup returns 0 rows; tags tag_on_default_use),
+    tag_on_default_use (default ["_jdbcstreamingdefaultsused"]),
+    max_distinct_params (guard, default 100_000).
+
+    Spark re-expression of the per-event semantics: the reference runs
+    the statement once per event behind an LRU ``cache_size`` hit
+    cache — i.e. the real work is one execution per DISTINCT parameter
+    tuple. This stage makes that exact: collect the micro-batch's
+    distinct parameter tuples (the batch-wide equivalent of the LRU
+    cache, guarded by ``max_distinct_params``), execute the UNMODIFIED
+    parameterized statement once per tuple over a single driver-side
+    JDBC connection (java.sql.PreparedStatement via the JVM gateway —
+    arbitrary SQL, no statement parsing), and broadcast-join the
+    result dim back on the tuple. Per-event results are identical to
+    the reference for any statement that is a pure function of its
+    parameters (the cache assumption the reference itself makes).
+    When distinct-param cardinality exceeds the guard the stage raises
+    with a pointer to jdbc_static (preload + join) — the scale path
+    for high-cardinality keys.
+    """
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        out = [self.conf.get("target", "jdbc_result")]
+        if self.conf.get("default_hash") is not None:
+            out.append("tags")
+        return out
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        import re as _re
+
+        spark = df.sparkSession
+        statement: str = self.conf["statement"]
+        parameters: dict[str, str] = self.conf.get("parameters", {})
+        target = self.conf.get("target", "jdbc_result")
+        url = self.conf["jdbc_connection_string"]
+        driver = self.conf.get("jdbc_driver_class",
+                               "org.apache.derby.jdbc.EmbeddedDriver")
+        max_distinct = int(self.conf.get("max_distinct_params", 100_000))
+
+        # :name placeholders → ordered ? placeholders (string literals in
+        # the statement may not contain colons followed by word chars —
+        # same tokenizer bar as the reference's Sequel binding)
+        order: list[str] = []
+
+        def _sub(m):
+            order.append(m.group(1))
+            return "?"
+
+        sql = _re.sub(r":(\w+)", _sub, statement)
+        unknown = [p for p in order if p not in parameters]
+        if unknown:
+            raise ValueError(f"jdbc_streaming: statement binds {unknown} "
+                             f"but parameters only defines {list(parameters)}")
+
+        # distinct parameter tuples from THIS batch ≙ the LRU hit cache
+        key_cols = list(dict.fromkeys(order)) or list(parameters)
+        keys_df = df.select(
+            *[field_col(parameters[p]).cast("string").alias(f"__p_{p}")
+              for p in key_cols]
+        ).distinct()
+        distinct = keys_df.limit(max_distinct + 1).collect()
+        if len(distinct) > max_distinct:
+            raise ValueError(
+                f"jdbc_streaming: >{max_distinct} distinct parameter tuples "
+                "in one batch — use jdbc_static (preload + broadcast join) "
+                "for high-cardinality keys, or raise max_distinct_params"
+            )
+
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(driver)
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            ps = conn.prepareStatement(sql)
+            meta = ps.getMetaData()
+            ncols = meta.getColumnCount()
+            names = [meta.getColumnLabel(i + 1).lower() for i in range(ncols)]
+            types = [_JDBC_TYPE_MAP.get(meta.getColumnType(i + 1), "string")
+                     for i in range(ncols)]
+            # strict drivers (Derby) reject setString on numeric params —
+            # coerce per ParameterMetaData
+            try:
+                pmeta = ps.getParameterMetaData()
+                praw = [pmeta.getParameterType(i + 1) for i in range(len(order))]
+            except Exception:
+                praw = [12] * len(order)  # java.sql.Types.VARCHAR
+            ptypes = [_JDBC_TYPE_MAP.get(c, "string") for c in praw]
+            dim_rows = []
+            for row in distinct:
+                vals = {p: row[f"__p_{p}"] for p in key_cols}
+                for i, p in enumerate(order):
+                    v = vals[p]
+                    if v is None:
+                        ps.setNull(i + 1, praw[i])
+                    elif ptypes[i] == "long":
+                        ps.setLong(i + 1, int(v))
+                    elif ptypes[i] == "double":
+                        ps.setDouble(i + 1, float(v))
+                    else:
+                        ps.setString(i + 1, v)
+                rs = ps.executeQuery()
+                hits = []
+                while rs.next():
+                    rec = []
+                    for i in range(ncols):
+                        v = rs.getObject(i + 1)
+                        if v is not None and types[i] == "string":
+                            v = str(v)
+                        elif v is not None and types[i] == "long":
+                            v = int(v)
+                        elif v is not None and types[i] == "double":
+                            v = float(v)
+                        rec.append(v)
+                    hits.append(tuple(rec))
+                rs.close()
+                dim_rows.append(tuple(vals[p] for p in key_cols) + (hits,))
+            ps.close()
+        finally:
+            conn.close()
+
+        struct_t = ", ".join(f"{n}: {t}" for n, t in zip(names, types))
+        schema = (
+            ", ".join(f"__p_{p} string" for p in key_cols)
+            + f", {target} array<struct<{struct_t}>>"
+        )
+        dim = spark.createDataFrame(dim_rows, schema)
+        join_cond = None
+        for p in key_cols:
+            c = field_col(parameters[p]).cast("string").eqNullSafe(F.col(f"__p_{p}"))
+            join_cond = c if join_cond is None else (join_cond & c)
+        out = df.join(F.broadcast(dim), join_cond, "left").drop(
+            *[f"__p_{p}" for p in key_cols]
+        )
+        # materialize BEFORE the default_hash overwrite of `target` —
+        # a lazy expression would re-resolve against the defaulted array
+        out = out.withColumn("__matched", F.size(F.col(target)) > 0)
+        default = self.conf.get("default_hash")
+        if default is not None:
+            default_struct = F.struct(*[
+                F.lit(default.get(n)).cast(t).alias(n)
+                for n, t in zip(names, types)
+            ])
+            out = out.withColumn(
+                target,
+                F.when(F.col("__matched"), F.col(target))
+                .otherwise(F.array(default_struct)),
+            )
+            out = add_tags(
+                out,
+                list(self.conf.get("tag_on_default_use",
+                                   ["_jdbcstreamingdefaultsused"])),
+                ~F.col("__matched"),
+            )
+        return out, F.col("__matched")

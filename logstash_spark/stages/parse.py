@@ -418,3 +418,90 @@ class DateStage(Stage):
         df = add_tags(df, self.conf.get("tag_on_failure", ["_dateparsefailure"]),
                       src.isNotNull() & ~matched)
         return df, matched
+
+
+@register("cef")
+class CefStage(Stage):
+    """logstash-codec-cef:lib/logstash/codecs/cef.rb (decode side) as a
+    filter stage — ArcSight Common Event Format:
+
+      [syslog prefix ]CEF:v|Vendor|Product|Version|EventClassID|Name|Sev|ext
+
+    conf: source (default "message"), target (default "cef").
+
+    Header fields may contain escaped pipes (``\\|``); the extension is
+    space-separated ``key=value`` where values may contain spaces (a
+    value runs until the next ``key=`` token) and escape ``\\=`` ``\\n``
+    ``\\\\``. Fully native lowering: split on unescaped ``|`` with
+    limit 8 (the 8th slot is the raw extension, embedded pipes intact),
+    extension → map<string,string> via two ``regexp_extract_all``
+    passes over the same pair pattern + ``map_from_arrays``, escapes
+    undone by one generic ``\\\\(.)`` → ``$1`` regexp_replace. Output
+    struct: cef_version int, device_vendor/product/version,
+    device_event_class_id, name, severity (string — CEF allows both
+    0–10 and words), extensions map. Non-CEF rows → null target +
+    ``_cefparsefailure`` tag.
+    """
+
+    TAG = "_cefparsefailure"
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return [self.conf.get("target", "cef"), "tags"]
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        source = self.conf.get("source", "message")
+        target = self.conf.get("target", "cef")
+        src = field_col(source)
+
+        # the CEF body starts at "CEF:" (anything before is a syslog prefix)
+        body = F.regexp_extract(src, r"(CEF:.*)$", 1)
+        ok = body != ""
+        # Escape handling that survives arbitrary escape RUNS (a naive
+        # (?<!\\)\| lookbehind mis-splits "…\\|…" — an escaped backslash
+        # followed by a REAL separator): substitute the three escaped
+        # forms with sentinel control chars first, split on now-
+        # unambiguous bare pipes, restore sentinels per part at the end.
+        S_BS, S_PIPE, S_EQ = "\x01", "\x02", "\x03"
+        esc = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(body, r"\\\\", S_BS), r"\\\|", S_PIPE
+            ),
+            r"\\=", S_EQ,
+        )
+        parts = F.split(esc, r"\|", 8)
+
+        def unesc(c: Column) -> Column:
+            # CEF spec: \n / \r decode to real newlines; any other stray
+            # backslash-escape degrades to its char; then sentinels back
+            c = F.regexp_replace(c, r"\\n", "\n")
+            c = F.regexp_replace(c, r"\\r", "\r")
+            c = F.regexp_replace(c, r"\\(.)", "$1")
+            return F.translate(c, S_BS + S_PIPE + S_EQ, "\\|=")
+
+        hdr = [F.when(F.size(parts) > i, unesc(F.element_at(parts, i + 1)))
+               for i in range(7)]
+        ext_raw = F.when(F.size(parts) > 7, F.element_at(parts, 8))
+        # key=value pairs; value runs to the lookahead of the next key= or
+        # EOL (escaped = are sentinels here, so bare = is a true delimiter)
+        pair = r"([\w.\[\]]+)=(.*?)(?=\s+[\w.\[\]]+=|\s*$)"
+        keys = F.regexp_extract_all(ext_raw, F.lit(pair), F.lit(1))
+        vals = F.transform(
+            F.regexp_extract_all(ext_raw, F.lit(pair), F.lit(2)),
+            lambda v: unesc(v),
+        )
+        ext = F.when(ext_raw.isNotNull(), F.map_from_arrays(keys, vals))
+        ver = F.regexp_extract(hdr[0], r"CEF:(\d+)", 1).try_cast("int")
+        struct = F.struct(
+            ver.alias("cef_version"),
+            hdr[1].alias("device_vendor"),
+            hdr[2].alias("device_product"),
+            hdr[3].alias("device_version"),
+            hdr[4].alias("device_event_class_id"),
+            hdr[5].alias("name"),
+            hdr[6].alias("severity"),
+            ext.alias("extensions"),
+        )
+        matched = ok & ver.isNotNull() & (F.size(parts) >= 7)
+        df = df.withColumn(target, F.when(matched, struct))
+        df = add_tags(df, [self.TAG], src.isNotNull() & ~matched)
+        return df, matched

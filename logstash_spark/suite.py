@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from .conditions import compile_condition
 from .datapipe.dedup import exact_dedup, minhash_dedup, ngram_jaccard_pairs, simhash_dedup
 from .datapipe.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
-from .datapipe.textstats import EN_STOPWORDS, LANG_MARKERS, rolling_fingerprint
+from .datapipe.textstats import EN_STOPWORDS, LANG_MARKERS
 from . import suite_expected as _expected
 from .stages.base import apply_stage, build_stage
 
@@ -1072,10 +1072,16 @@ _TEXTSTATS_ORACLE = f"""
                / length(text) ELSE 0.0 END AS pr,
              CASE WHEN len(ws) > 0 THEN
                len(list_filter(ws, x -> x IN ({_STOP_SQL}))) / len(ws)
-               ELSE 0.0 END AS sr
+               ELSE 0.0 END AS sr,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(ws,
+                   t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT))),
+               (acc, h) -> (acc * 31 + h) % 2147483648
+             ) AS fingerprint_rolling
       FROM base
     )
-    SELECT doc_id, n_tokens, n_bpe_tokens,
+    SELECT doc_id, n_tokens, n_bpe_tokens, fingerprint_rolling,
            CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_it) < 1 THEN 'und'
                 WHEN c_en = greatest(c_en, c_de, c_fr, c_es, c_it) THEN 'en'
                 WHEN c_de = greatest(c_en, c_de, c_fr, c_es, c_it) THEN 'de'
@@ -1093,14 +1099,21 @@ _TEXTSTATS_ORACLE = f"""
 
 @_q("textstats_quality", _TEXTSTATS_ORACLE)
 def textstats_quality(spark, sf_dir):
-    """language-ID + quality scoring + token counts — all native, and
-    ONE word-array traversal per row (text_quality_stats: fused stats
-    vector behind an explode barrier; see PLANS.md round 3)."""
-    from .datapipe.textstats import text_quality_stats
+    """language-ID + quality scoring + token counts + order-sensitive
+    rolling document fingerprint — all native, ONE word-array traversal
+    per row for the stats vector (fused behind an explode barrier; see
+    PLANS.md round 3). The fingerprint's per-token hash is an
+    md5-prefix (token_hash32) precisely so the oracle exists: both
+    engines compute the identical 32-bit token hash and the same
+    mod-2^31 left fold (consolidated from the former separate
+    textstats_fingerprint row — same table, same grain — to free a
+    driver slot for cef_dns_jdbc_battery)."""
+    from .datapipe.textstats import text_stats
 
     docs = _t(spark, sf_dir, "documents")
-    return text_quality_stats(docs).select(
-        "doc_id", "n_tokens", "n_bpe_tokens", "lang_detected", "quality"
+    return text_stats(docs).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "fingerprint_rolling",
+        "lang_detected", "quality"
     )
 
 
@@ -1162,34 +1175,8 @@ def multimodal_features(spark, sf_dir):
     return media_features(media)
 
 
-@_q(
-    "textstats_fingerprint",
-    """
-    WITH w AS (
-      SELECT doc_id,
-             list_transform(
-               regexp_split_to_array(trim(lower(text)), '\\s+'),
-               t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT)) AS hs
-      FROM documents
-    )
-    SELECT doc_id,
-           list_reduce(
-             list_prepend(CAST(0 AS BIGINT), hs),
-             (acc, h) -> (acc * 31 + h) % 2147483648
-           ) AS fingerprint_rolling
-    FROM w
-    """,
-)
-def textstats_fingerprint(spark, sf_dir):
-    """Order-sensitive rolling document fingerprint. The per-token hash
-    is an md5-prefix (token_hash32) precisely so this oracle exists:
-    both engines compute the identical 32-bit token hash and the same
-    mod-2^31 left fold (DuckDB list_reduce seeded via list_prepend;
-    all values nonnegative, so % ≡ pmod)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint_rolling")
-    )
+# (textstats_fingerprint was consolidated INTO textstats_quality — same
+# table, same per-doc grain — freeing a driver-cap slot; see that row.)
 
 
 # ---------------------------------------------------------------------------
@@ -1755,6 +1742,92 @@ def jdbc_static_enrich(spark, sf_dir):
 
 
 @_q(
+    "cef_dns_jdbc_battery",
+    """
+    SELECT event_id,
+           'acme' AS vendor,
+           event_type AS class_id,
+           CAST(user_id % 11 AS VARCHAR) AS severity,
+           '10.0.0.' || CAST(user_id % 8 AS VARCHAR) AS src_ip,
+           'k=' || CAST(event_id AS VARCHAR) AS msg_kv,
+           CASE CAST(user_id % 8 AS INT)
+             WHEN 0 THEN 'db.internal' WHEN 1 THEN 'web.internal'
+             WHEN 2 THEN 'cache.internal' WHEN 3 THEN 'lb.internal'
+             ELSE '10.0.0.' || CAST(user_id % 8 AS VARCHAR) END AS resolved_host,
+           CASE event_type
+             WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+             WHEN 'purchase' THEN 'revenue' ELSE 'other' END AS category
+    FROM events
+    """,
+)
+def cef_dns_jdbc_battery(spark, sf_dir):
+    """CEF codec decode → dns reverse-lookup enrich → jdbc_streaming
+    parameterized lookup, chained over one synthesized security-event
+    feed: logstash-codec-cef (native split + regexp_extract_all
+    extension map, escaped ``\\=`` exercised in msg), logstash-filter-dns
+    (broadcast snapshot, reverse+replace: unresolvable addresses stay
+    in place per dns.rb) and jdbc_streaming (per-DISTINCT-parameter
+    execution over a real Derby connection ≙ the LRU hit cache,
+    default_hash on miss). The oracle reconstructs every output
+    directly from the events table — the CEF line is deterministic in
+    (event_id, user_id, event_type), so a correct parse is exactly the
+    identity recovery."""
+    ev = _events_msg(
+        spark, sf_dir,
+        F.concat(
+            F.lit("CEF:0|acme|sensor|2.1|"), F.col("event_type"),
+            F.lit("|threat detected|"),
+            F.pmod(F.col("user_id"), F.lit(11)).cast("string"),
+            F.lit("|src=10.0.0."),
+            F.pmod(F.col("user_id"), F.lit(8)).cast("string"),
+            F.lit(" msg=k\\="), F.col("event_id").cast("string"),
+            F.lit(" act=blocked"),
+        ),
+    )
+    url = f"jdbc:derby:/tmp/suite_derby_{abs(hash(sf_dir)) % 10**8};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
+        "etype string, category string",
+    )
+    dim.write.mode("overwrite").format("jdbc").options(
+        url=url, dbtable="dim_categories_cef", driver=driver,
+        createTableColumnTypes="etype VARCHAR(32), category VARCHAR(32)",
+    ).save()
+    out = apply_stage(ev, {"cef": {}})
+    out = out.withColumn("src_ip", F.col("cef.extensions").getItem("src"))
+    out = apply_stage(
+        out,
+        {"dns": {"reverse": ["src_ip"], "action": "replace",
+                 "hosts": {"db.internal": "10.0.0.0",
+                           "web.internal": "10.0.0.1",
+                           "cache.internal": "10.0.0.2",
+                           "lb.internal": "10.0.0.3"}}},
+    )
+    out = apply_stage(
+        out,
+        {"jdbc_streaming": {
+            "jdbc_connection_string": url, "jdbc_driver_class": driver,
+            "statement": 'SELECT "category" FROM dim_categories_cef '
+                         'WHERE "etype" = :t',
+            "parameters": {"t": "[cef][device_event_class_id]"},
+            "target": "cat_rows",
+            "default_hash": {"category": "other"},
+        }},
+    )
+    return out.select(
+        "event_id",
+        F.col("cef.device_vendor").alias("vendor"),
+        F.col("cef.device_event_class_id").alias("class_id"),
+        F.col("cef.severity").alias("severity"),
+        F.col("cef.extensions").getItem("src").alias("src_ip"),
+        F.col("cef.extensions").getItem("msg").alias("msg_kv"),
+        F.col("src_ip").alias("resolved_host"),
+        F.element_at(F.col("cat_rows"), 1)["category"].alias("category"),
+    )
+
+
+@_q(
     "aggregate_timeout_flush",
     """
     SELECT user_id, false AS is_timeout_event, CAST(NULL AS BIGINT) AS n,
@@ -1818,9 +1891,9 @@ _EXPORT_ORDER = [
     "mutate_chain", "translate_dicts",
     "fingerprint_hashes", "mutate_field_hygiene", "truncate_bytes",
     "syslog_pri_decode", "ruby_vectorized_udf", "filters_longtail",
-    # §2.4 enrich family
+    # §2.4 enrich family (+ cef codec / dns / jdbc_streaming battery)
     "geoip_two_strategies", "useragent_two_strategies", "cidr_match",
-    "tld_extract",
+    "tld_extract", "cef_dns_jdbc_battery",
     # §2.4 flow family
     "drop_and_clone", "split_words", "throttle_rate",
     "aggregate_timeout_flush",
@@ -1831,7 +1904,7 @@ _EXPORT_ORDER = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "ngram_jaccard_pairs", "dedup_connected_components",
     "dedup_embedding_neardup", "similarity_topk_battery",
-    "textstats_quality", "textstats_fingerprint", "salted_skew_aggregate",
+    "textstats_quality", "salted_skew_aggregate",
     "multimodal_features",
 ]
 

@@ -255,3 +255,42 @@ def test_kafka_lscl_lowering():
         "topic": "enriched",
         "message_key": "url",
     }
+
+
+def test_netflow_v5_codec(spark, tmp_path):
+    """NetFlow v5 datagrams (logstash-codec-netflow v5 template):
+    vectorized numpy decode over binaryFile; corrupt frames yield error
+    rows instead of aborting the job."""
+    from logstash_spark.netflow_codec import encode_v5_datagram
+
+    good = encode_v5_datagram(
+        [
+            {"srcaddr": "10.0.0.1", "dstaddr": "192.168.1.200",
+             "srcport": 443, "dstport": 52000, "protocol": 6,
+             "tcp_flags": 0x1B, "packets": 12, "octets": 3456,
+             "first": 100, "last": 900, "src_as": 64512, "dst_as": 65000},
+            {"srcaddr": "172.16.254.255", "dstaddr": "8.8.8.8",
+             "srcport": 53, "dstport": 33434, "protocol": 17,
+             "packets": 1, "octets": 84},
+        ],
+        sys_uptime=5000, unix_secs=1_755_000_000, flow_sequence=77,
+    )
+    (tmp_path / "p1.bin").write_bytes(good)
+    (tmp_path / "bad.bin").write_bytes(b"\x00\x09" + b"x" * 30)  # v9 → error row
+
+    from logstash_spark.sources import resolve_input
+
+    out = resolve_input(spark, "file", {"path": str(tmp_path), "codec": "netflow"})
+    rows = out.collect()
+    flows = sorted([r for r in rows if r.error is None], key=lambda r: r.srcport)
+    errs = [r for r in rows if r.error is not None]
+    assert len(flows) == 2 and len(errs) == 1
+    dns, https = flows
+    assert https.srcaddr == "10.0.0.1" and https.dstaddr == "192.168.1.200"
+    assert https.srcport == 443 and https.protocol == 6 and https.tcp_flags == 0x1B
+    assert https.packets == 12 and https.octets == 3456
+    assert https.first_uptime_ms == 100 and https.last_uptime_ms == 900
+    assert https.src_as == 64512 and https.flow_sequence == 77
+    assert https.unix_secs == 1_755_000_000
+    assert dns.srcaddr == "172.16.254.255" and dns.protocol == 17
+    assert "version 9" in errs[0].error

@@ -169,3 +169,121 @@ def test_ip_to_long_malformed_never_aborts(spark):
     )
     vals = [r.n for r in df.select(ip_to_long(F.col("ip")).alias("n")).collect()]
     assert vals == [None, None, None, None, None, 167772161, None]
+
+
+def test_dns_resolve_replace_inline(spark):
+    df = spark.createDataFrame(
+        [(1, "Www.Example.COM"), (2, "nxdomain.test")], "id int, host string"
+    )
+    out = apply_stage(
+        df,
+        {"dns": {"resolve": ["host"], "action": "replace",
+                 "hosts": {"www.example.com": "93.184.216.34"},
+                 "tag_on_miss": "_dnsmiss", "add_tag": ["resolved"]}},
+    )
+    rows = {r.id: r for r in out.collect()}
+    # hit: replaced in place, common options applied (all lookups succeeded)
+    assert rows[1].host == "93.184.216.34" and "resolved" in rows[1].tags
+    # miss: field unchanged (dns.rb leaves it), miss tag, no matched tag
+    assert rows[2].host == "nxdomain.test"
+    assert "_dnsmiss" in rows[2].tags and "resolved" not in rows[2].tags
+
+
+def test_dns_append_and_reverse_hosts_df(spark):
+    dim = spark.createDataFrame(
+        [("db.internal", "10.0.0.5"), ("web.internal", "10.0.0.6")],
+        "name string, address string",
+    )
+    df = spark.createDataFrame(
+        [(1, "db.internal", "10.0.0.6"), (2, "gone.internal", "10.9.9.9")],
+        "id int, host string, ip string",
+    )
+    out = apply_stage(
+        df, {"dns": {"resolve": ["host"], "reverse": ["ip"], "hosts_df": dim}}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # snapshot join, fact side unshuffled
+    rows = {r.id: r for r in out.collect()}
+    # append mode (dns.rb default): array with resolved value appended
+    assert list(rows[1].host) == ["db.internal", "10.0.0.5"]
+    assert list(rows[1].ip) == ["10.0.0.6", "web.internal"]
+    # misses stay as singleton arrays (typed-column deviation, documented)
+    assert list(rows[2].host) == ["gone.internal"]
+    assert list(rows[2].ip) == ["10.9.9.9"]
+
+
+def test_dns_hosts_file_and_guardrails(spark, tmp_path):
+    hosts = tmp_path / "hosts"
+    hosts.write_text(
+        "# comment\n10.0.0.5 db.internal db  # trailing\n10.0.0.6 web.internal\n"
+    )
+    df = spark.createDataFrame([(1, "DB")], "id int, host string")
+    out = apply_stage(
+        df,
+        {"dns": {"resolve": ["host"], "action": "replace",
+                 "hosts_path": str(hosts)}},
+    )
+    assert out.collect()[0].host == "10.0.0.5"  # alias + case-insensitive
+    with pytest.raises(ValueError, match="snapshot"):
+        apply_stage(df, {"dns": {"resolve": ["host"]}})
+    with pytest.raises(ValueError, match="action"):
+        apply_stage(df, {"dns": {"resolve": ["host"], "hosts": {},
+                                 "action": "upsert"}})
+
+
+def test_jdbc_streaming_parameterized_lookup(spark, tmp_path):
+    """Per-event parameterized lookup (jdbc_streaming.rb): the statement
+    runs once per DISTINCT parameter tuple (≙ the LRU hit cache) over a
+    real Derby connection, results broadcast-joined back per event."""
+    url = f"jdbc:derby:{tmp_path}/js_db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    dim = spark.createDataFrame(
+        [("10.0.0.5", "db1", 1), ("10.0.0.5", "db2", 2), ("10.0.0.6", "web", 1)],
+        "ip string, server string, prio int",
+    )
+    dim.write.mode("overwrite").format("jdbc").options(
+        url=url, dbtable="servers", driver=driver,
+        createTableColumnTypes="ip VARCHAR(64), server VARCHAR(64), prio INTEGER",
+    ).save()
+    df = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.0.0.5"), (3, "10.9.9.9")], "id int, src_ip string"
+    )
+    out = apply_stage(
+        df,
+        {"jdbc_streaming": {
+            "jdbc_connection_string": url,
+            "jdbc_driver_class": driver,
+            "statement": 'SELECT "server", "prio" FROM servers '
+                         'WHERE "ip" = :ip ORDER BY "prio"',
+            "parameters": {"ip": "src_ip"},
+            "target": "server_info",
+            "default_hash": {"server": "unknown"},
+        }},
+    )
+    rows = {r.id: r for r in out.collect()}
+    # multi-row result: array of typed structs, statement ORDER respected
+    assert [s.server for s in rows[1].server_info] == ["db1", "db2"]
+    assert rows[1].server_info[0].prio == 1  # INTEGER → long via metadata
+    assert rows[2].server_info == rows[1].server_info  # same tuple, one execution
+    # miss → default_hash row + tag_on_default_use default tag
+    assert rows[3].server_info[0].server == "unknown"
+    assert rows[3].server_info[0].prio is None
+    assert "_jdbcstreamingdefaultsused" in rows[3].tags
+    assert "_jdbcstreamingdefaultsused" not in (rows[1].tags or [])
+
+
+def test_jdbc_streaming_guardrails(spark, tmp_path):
+    url = f"jdbc:derby:{tmp_path}/js_db2;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    spark.createDataFrame([(1, "a")], "k int, v string").write.mode(
+        "overwrite").format("jdbc").options(
+        url=url, dbtable="t", driver=driver,
+        createTableColumnTypes="k INTEGER, v VARCHAR(16)").save()
+    df = spark.createDataFrame([(i, str(i)) for i in range(10)], "id int, key string")
+    conf = {"jdbc_connection_string": url, "jdbc_driver_class": driver,
+            "statement": 'SELECT "v" FROM t WHERE "k" = :k',
+            "parameters": {"k": "key"}, "target": "r"}
+    with pytest.raises(ValueError, match="distinct parameter tuples"):
+        apply_stage(df, {"jdbc_streaming": {**conf, "max_distinct_params": 3}})
+    with pytest.raises(ValueError, match="statement binds"):
+        apply_stage(df, {"jdbc_streaming": {**conf, "parameters": {"zz": "key"}}})

@@ -301,3 +301,41 @@ def test_grok_pattern_library_compiles():
     for name, line in samples.items():
         cg = compile_grok("%{" + name + "}")
         assert cg.regex.search(line), name
+
+
+def test_cef_decode(spark):
+    """logstash-codec-cef decode vectors: plain, syslog-prefixed with
+    escaped header pipes / extension equals, and a non-CEF row."""
+    rows = [
+        (1, "CEF:0|Security|threatmanager|1.0|100|worm successfully "
+            "stopped|10|src=10.0.0.1 dst=2.1.2.2 spt=1232"),
+        (2, "Sep 19 08:26:10 host CEF:1|security|threat\\|manager|1.0|100|"
+            "detected a \\\\ in packet|Low|act=blocked a \\= sign "
+            "msg=hello world dst=1.1.1.1"),
+        (3, "not a cef line"),
+        # escaped BACKSLASH immediately before a REAL separator pipe —
+        # the case a naive (?<!\\)| lookbehind gets wrong
+        (4, "CEF:0|v|prod\\\\|1.0|id1|nm|5|k=v"),
+    ]
+    df = spark.createDataFrame(rows, "id int, message string")
+    out = apply_stage(df, {"cef": {}})
+    r = {x.id: x for x in out.collect()}
+    c1 = r[1].cef
+    assert c1.cef_version == 0 and c1.device_vendor == "Security"
+    assert c1.name == "worm successfully stopped" and c1.severity == "10"
+    assert dict(c1.extensions) == {"src": "10.0.0.1", "dst": "2.1.2.2",
+                                   "spt": "1232"}
+    c2 = r[2].cef
+    assert c2.cef_version == 1
+    assert c2.device_product == "threat|manager"      # escaped pipe undone
+    assert c2.name == "detected a \\ in packet"        # escaped backslash
+    assert c2.severity == "Low"
+    ext = dict(c2.extensions)
+    assert ext["act"] == "blocked a = sign"            # escaped equals
+    assert ext["msg"] == "hello world"                 # multi-word value
+    assert ext["dst"] == "1.1.1.1"
+    assert r[3].cef is None and "_cefparsefailure" in r[3].tags
+    assert "_cefparsefailure" not in (r[1].tags or [])
+    c4 = r[4].cef
+    assert c4.device_product == "prod\\" and c4.device_version == "1.0"
+    assert c4.severity == "5" and dict(c4.extensions) == {"k": "v"}
