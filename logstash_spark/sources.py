@@ -103,6 +103,30 @@ def resolve_input(
             from .netflow_codec import read_netflow
 
             return read_netflow(spark, path, streaming)
+        if fmt == "graphite":
+            # logstash-codec-graphite decode: one line "metric value ts"
+            # → event {metric: value} + @timestamp (graphite.rb#decode).
+            # Fully native: split + try_casts; malformed lines keep the
+            # raw message and a _graphiteparsefailure tag.
+            df = reader.text(path).withColumnRenamed("value", "message")
+            parts = F.split(F.trim(F.col("message")), r"\s+")
+            metric = F.element_at(parts, 1)
+            val = F.element_at(parts, 2).try_cast("double")
+            ts = F.element_at(parts, 3).try_cast("long")
+            ok = (
+                (F.size(parts) == 3) & val.isNotNull() & ts.isNotNull()
+            )
+            return df.select(
+                F.col("message"),
+                F.when(ok, metric).alias("metric"),
+                F.when(ok, val).alias("value"),
+                F.when(ok, F.timestamp_seconds(ts)).alias("event_ts"),
+                F.when(ok, F.array().cast("array<string>"))
+                .otherwise(F.array(F.lit("_graphiteparsefailure")))
+                .alias("tags"),
+            )
+        if fmt == "es_bulk":
+            return _read_es_bulk(spark, path, streaming)
         if streaming and "schema" not in args:
             raise SourceError(f"streaming {fmt} input requires schema => '<ddl>'")
         if "schema" in args:
@@ -270,3 +294,80 @@ def _read_avro(
         )
     files = binf.option("pathGlobFilter", "*.avro").load(path)
     return files.select("content").mapInPandas(decode_files, schema=ddl)
+
+
+def _read_es_bulk(spark: SparkSession, path: str, streaming: bool) -> DataFrame:
+    """logstash-codec-es_bulk: NDJSON Elasticsearch bulk format —
+    alternating action-metadata lines (``{"index": {"_index": …,
+    "_id": …}}``) and source lines; decode yields ONE event per source
+    line carrying the action metadata (es_bulk.rb#decode puts it under
+    ``@metadata``).
+
+    Pairing consecutive lines needs a stable intra-file order, which a
+    parallel text scan does not guarantee — so (like the avro codec)
+    each bulk file decodes whole in one task: ``binaryFile`` scan +
+    ``mapInPandas``. Bulk files are bounded request payloads by
+    construction (ES caps them ~100 MB), so one-file-per-task is the
+    right granularity at any scale. ``delete`` actions have no source
+    line (event with null source); malformed action lines produce an
+    ``error`` row, never a task abort.
+    """
+    import json as _json
+
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    schema = ("action string, index string, doc_id string, source string, "
+              "error string")
+
+    def decode(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for payload in pdf["content"]:
+                try:
+                    lines = [
+                        ln for ln in payload.decode("utf-8",
+                                                    errors="replace").splitlines()
+                        if ln.strip()
+                    ]
+                except Exception as e:  # pragma: no cover
+                    rows.append((None, None, None, None, f"undecodable: {e}"))
+                    continue
+                i = 0
+                while i < len(lines):
+                    try:
+                        meta = _json.loads(lines[i])
+                        action = next(iter(meta))
+                        info = meta[action] or {}
+                        if not isinstance(info, dict):
+                            raise ValueError("action metadata not an object")
+                    except Exception as e:
+                        rows.append((None, None, None, None,
+                                     f"bad action line {i}: {e}"))
+                        i += 1
+                        continue
+                    if action == "delete":
+                        rows.append((action, info.get("_index"),
+                                     str(info.get("_id", "")) or None, None, None))
+                        i += 1
+                    else:
+                        src = lines[i + 1] if i + 1 < len(lines) else None
+                        rows.append((
+                            action, info.get("_index"),
+                            str(info.get("_id", "")) or None, src,
+                            None if src is not None
+                            else f"missing source after line {i}",
+                        ))
+                        i += 2
+            yield pd.DataFrame(
+                rows, columns=["action", "index", "doc_id", "source", "error"]
+            )
+
+    reader = spark.readStream if streaming else spark.read
+    binf = reader.format("binaryFile")
+    if streaming:
+        binf = binf.schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+    return binf.load(path).select("content").mapInPandas(decode, schema=schema)

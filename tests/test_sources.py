@@ -294,3 +294,51 @@ def test_netflow_v5_codec(spark, tmp_path):
     assert https.unix_secs == 1_755_000_000
     assert dns.srcaddr == "172.16.254.255" and dns.protocol == 17
     assert "version 9" in errs[0].error
+
+
+def test_graphite_codec(spark, tmp_path):
+    """logstash-codec-graphite: 'metric value timestamp' lines → typed
+    columns; malformed lines tagged, never dropped."""
+    p = tmp_path / "metrics.txt"
+    p.write_text(
+        "servers.web01.cpu.load 0.75 1755000000\n"
+        "servers.web01.mem.used 1048576 1755000060\n"
+        "garbage line without numbers\n"
+    )
+    from logstash_spark.sources import resolve_input
+
+    out = resolve_input(spark, "file", {"path": str(p), "codec": "graphite"})
+    rows = {r.message.split(" ")[0]: r for r in out.collect()}
+    cpu = rows["servers.web01.cpu.load"]
+    assert cpu.metric == "servers.web01.cpu.load" and cpu.value == 0.75
+    assert cpu.event_ts.isoformat().startswith("2025-08-12")
+    assert list(cpu.tags) == []
+    bad = rows["garbage"]
+    assert bad.metric is None and "_graphiteparsefailure" in bad.tags
+
+
+def test_es_bulk_codec(spark, tmp_path):
+    """logstash-codec-es_bulk: action-metadata/source line pairs → one
+    event per source line; delete actions have no source; malformed
+    action lines yield error rows."""
+    p = tmp_path / "batch.ndjson"
+    p.write_text(
+        '{"index": {"_index": "logs", "_id": "1"}}\n'
+        '{"msg": "hello", "n": 1}\n'
+        '{"create": {"_index": "logs", "_id": "2"}}\n'
+        '{"msg": "world", "n": 2}\n'
+        '{"delete": {"_index": "logs", "_id": "1"}}\n'
+        "not json at all\n"
+    )
+    from logstash_spark.sources import resolve_input
+
+    out = resolve_input(spark, "file", {"path": str(p), "codec": "es_bulk"})
+    rows = out.collect()
+    ok = {r.doc_id: r for r in rows if r.error is None}
+    assert ok["1"].action in ("index", "delete")
+    by_action = {r.action: r for r in rows if r.error is None}
+    assert by_action["index"].source == '{"msg": "hello", "n": 1}'
+    assert by_action["create"].doc_id == "2"
+    assert by_action["delete"].source is None
+    errs = [r for r in rows if r.error is not None]
+    assert len(errs) == 1 and "bad action line" in errs[0].error
