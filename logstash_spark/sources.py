@@ -127,6 +127,10 @@ def resolve_input(
             )
         if fmt == "es_bulk":
             return _read_es_bulk(spark, path, streaming)
+        if fmt == "collectd":
+            from .collectd_codec import read_collectd
+
+            return read_collectd(spark, path, streaming)
         if streaming and "schema" not in args:
             raise SourceError(f"streaming {fmt} input requires schema => '<ddl>'")
         if "schema" in args:

@@ -342,3 +342,41 @@ def test_es_bulk_codec(spark, tmp_path):
     assert by_action["delete"].source is None
     errs = [r for r in rows if r.error is not None]
     assert len(errs) == 1 and "bad action line" in errs[0].error
+
+
+def test_collectd_codec(spark, tmp_path):
+    """collectd binary protocol: TLV state machine — metadata parts set
+    state, each VALUES part emits one event; gauge is the protocol's
+    one little-endian field; corrupt datagrams yield error rows."""
+    from logstash_spark.collectd_codec import encode_datagram
+
+    good = encode_datagram([
+        {"host": "web01", "plugin": "cpu", "plugin_instance": "0",
+         "type": "cpu", "type_instance": "idle", "time": 1755000000.5,
+         "interval": 10, "values": [("derive", 12345)]},
+        # state carries over: only the changed fields re-sent
+        {"type_instance": "user", "values": [("derive", 678)]},
+        {"plugin": "load", "plugin_instance": None, "type": "load",
+         "type_instance": None,
+         "values": [("gauge", 0.25), ("gauge", 0.5), ("gauge", 0.75)]},
+    ])
+    (tmp_path / "d1.bin").write_bytes(good)
+    (tmp_path / "bad.bin").write_bytes(b"\x00\x06\x00\x03")  # short part
+
+    from logstash_spark.sources import resolve_input
+
+    out = resolve_input(spark, "file", {"path": str(tmp_path), "codec": "collectd"})
+    rows = out.collect()
+    ok = [r for r in rows if r.error is None]
+    errs = [r for r in rows if r.error is not None]
+    assert len(ok) == 3 and len(errs) == 1
+    idle = next(r for r in ok if r.type_instance == "idle")
+    assert idle.host == "web01" and idle.plugin == "cpu"
+    assert abs(idle.collectd_time - 1755000000.5) < 1e-6
+    assert idle.interval == 10.0 and list(idle.values) == [12345.0]
+    user = next(r for r in ok if r.type_instance == "user")
+    assert user.plugin == "cpu" and user.plugin_instance == "0"  # state held
+    load = next(r for r in ok if r.plugin == "load")
+    assert list(load.values) == [0.25, 0.5, 0.75]
+    assert list(load.value_kinds) == ["gauge", "gauge", "gauge"]
+    assert "length" in errs[0].error
