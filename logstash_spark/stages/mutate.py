@@ -528,3 +528,54 @@ class RubyStage(Stage):
             _ruby = pandas_udf(wrappers[len(sources)], rtype)
 
         return df.withColumn(target, _ruby(*[field_col(s) for s in sources])), None
+
+
+@register("i18n")
+class I18nStage(Stage):
+    """logstash-filter-i18n:lib/logstash/filters/i18n.rb —
+    ``transliterate => [fields]``: non-ASCII characters in the named
+    string fields are down-converted to ASCII approximations
+    ("héllo wörld" → "hello world").
+
+    Spark re-expression: vectorized pandas Unicode pipeline per Arrow
+    batch — ``Series.str.normalize("NFKD")`` (C-level ICU-backed
+    decomposition) then an ascii encode/ignore, which drops the
+    combining marks the decomposition split off. Characters with no
+    decomposition (e.g. CJK) are removed, matching the reference's
+    best-effort contract. Rows that change are the matched set.
+    """
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return [field_name(f) for f in self.conf.get("transliterate", [])]
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        from pyspark.sql.functions import pandas_udf
+
+        fields = list(self.conf.get("transliterate", []))
+        if not fields:
+            raise ValueError("i18n: transliterate => [fields] is required")
+
+        @pandas_udf("string")
+        def _translit(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for s in it:
+                yield (
+                    s.str.normalize("NFKD")
+                    .str.encode("ascii", errors="ignore")
+                    .str.decode("ascii")
+                )
+
+        changed = F.lit(False)
+        for f in fields:
+            src = field_col(f)
+            df = df.withColumn(f"__i18n_{field_name(f)}", _translit(src))
+        for f in fields:
+            name = field_name(f)
+            tmp = F.col(f"__i18n_{name}")
+            changed = changed | (field_col(f).isNotNull() & (tmp != field_col(f)))
+        df = df.withColumn("__matched", changed)
+        for f in fields:
+            name = field_name(f)
+            df = df.withColumn(name, F.coalesce(F.col(f"__i18n_{name}"),
+                                                field_col(f)))
+            df = df.drop(f"__i18n_{name}")
+        return df, F.col("__matched")

@@ -221,3 +221,22 @@ def test_environment_stage(spark, monkeypatch):
                                                     "missing": "LS_SPARK_NOPE"}}}
     ).collect()[0]
     assert out.deployment == "prod-7" and out.missing is None
+
+
+def test_i18n_transliterate(spark):
+    """logstash-filter-i18n: accents fold to ASCII, unmapped chars drop
+    (best-effort contract); unchanged rows are unmatched."""
+    df = spark.createDataFrame(
+        [(1, "héllo wörld", "café"), (2, "plain ascii", None)],
+        "id int, a string, b string",
+    )
+    from logstash_spark.stages import apply_stage
+
+    out = apply_stage(
+        df, {"i18n": {"transliterate": ["a", "b"], "add_tag": ["folded"]}}
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].a == "hello world" and rows[1].b == "cafe"
+    assert "folded" in rows[1].tags
+    assert rows[2].a == "plain ascii" and rows[2].b is None
+    assert "folded" not in (rows[2].tags or [])
