@@ -103,7 +103,9 @@ def decode_datagram(payload: bytes) -> list[dict]:
         if pos != n:
             raise ValueError(f"trailing {n - pos} bytes after last part")
     except (struct.error, ValueError) as e:
-        return err(str(e))
+        # keep every VALUES event decoded BEFORE the corruption point
+        # (UDP truncation is routine); the error row rides alongside
+        return out + err(str(e))
     return out
 
 

@@ -117,10 +117,26 @@ class PipelineGraph:
             spec = by_id[pid]
             if pid in self.listens:
                 addr = self.listens[pid]
-                frames = [
-                    spark.read.parquet(f"{run_dir}/{w}/{P2P_PREFIX}{addr}")
-                    for w in self.writers[addr]
-                ]
+                frames = []
+                for w in self.writers[addr]:
+                    # a sender whose `when` matched zero rows this batch
+                    # writes no parquet parts (only _SUCCESS) — an empty
+                    # stream is legal PipelineBus behavior, so skip the
+                    # unreadable path rather than crash on schema inference
+                    try:
+                        frames.append(
+                            spark.read.parquet(f"{run_dir}/{w}/{P2P_PREFIX}{addr}")
+                        )
+                    except Exception as e:
+                        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                            raise
+                if not frames:
+                    raise ValueError(
+                        f"pipeline {pid!r}: address {addr!r} received zero "
+                        "rows from every sender in this batch — a batch DAG "
+                        "needs at least one row (or run the downstream "
+                        "pipeline with an explicit source) to carry a schema"
+                    )
                 df = reduce(
                     lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
                 )

@@ -22,6 +22,7 @@ Spark decisions:
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -38,6 +39,13 @@ def failure_tag_predicate(df: DataFrame) -> Column:
     if TAGS_FIELD not in df.columns:
         return F.lit(False)
     return F.exists(F.col(TAGS_FIELD), lambda t: t.endswith("failure") | t.endswith("_miss"))
+
+
+# write_batch's partitionOverwriteMode pin is depth-counted per session
+# (see write_batch) — module-level so concurrent Router instances on the
+# same session coordinate
+_MODE_PIN_LOCK = threading.Lock()
+_MODE_PIN: dict[int, tuple[int, str | None]] = {}
 
 
 @dataclass
@@ -258,10 +266,17 @@ class Router:
                 try:
                     frame.write.format("kafka").options(**opts).save()
                 except Exception as e:
-                    raise RuntimeError(
-                        f"kafka sink {sink.name!r} requires the "
-                        f"spark-sql-kafka-0-10 jar on the cluster: {e}"
-                    ) from e
+                    # only rewrite the missing-data-source case; broker /
+                    # auth / serialization failures must surface as-is
+                    msg = str(e)
+                    if ("Failed to find data source" in msg
+                            or "DATA_SOURCE_NOT_FOUND" in msg
+                            or "ClassNotFoundException" in msg):
+                        raise RuntimeError(
+                            f"kafka sink {sink.name!r} requires the "
+                            f"spark-sql-kafka-0-10 jar on the cluster: {e}"
+                        ) from e
+                    raise
             else:
                 path = f"{run_dir}/{sink.name}"
                 writer = branch.write.format(sink.fmt).mode(mode)
@@ -275,14 +290,31 @@ class Router:
         # the reference writes outputs from the same worker pass,
         # DatasetCompiler#outputDataset). Serializing them would leave
         # the cluster idle between job tails.
+        # Depth-counted pin: two concurrent write_batch calls share one
+        # session conf, so a plain save/restore races — the first
+        # finisher would flip the mode back to STATIC while the other
+        # is mid-write, resurrecting the whole-sink-root truncation this
+        # pin exists to prevent. The prior value is captured by the
+        # OUTERMOST writer and restored only when the last one leaves.
         spark = df.sparkSession
-        prior_mode = spark.conf.get(OVERWRITE_MODE_CONF, None)
-        spark.conf.set(OVERWRITE_MODE_CONF, "dynamic")
+        key = id(spark)
+        with _MODE_PIN_LOCK:
+            depth, prior_mode = _MODE_PIN.get(
+                key, (0, spark.conf.get(OVERWRITE_MODE_CONF, None))
+            )
+            _MODE_PIN[key] = (depth + 1, prior_mode)
+            spark.conf.set(OVERWRITE_MODE_CONF, "dynamic")
         try:
             with ThreadPoolExecutor(max_workers=max(1, len(self.sinks))) as pool:
                 return dict(pool.map(write_one, self.sinks))
         finally:
-            if prior_mode is None:
-                spark.conf.unset(OVERWRITE_MODE_CONF)
-            else:
-                spark.conf.set(OVERWRITE_MODE_CONF, prior_mode)
+            with _MODE_PIN_LOCK:
+                depth, prior_mode = _MODE_PIN[key]
+                if depth == 1:
+                    del _MODE_PIN[key]
+                    if prior_mode is None:
+                        spark.conf.unset(OVERWRITE_MODE_CONF)
+                    else:
+                        spark.conf.set(OVERWRITE_MODE_CONF, prior_mode)
+                else:
+                    _MODE_PIN[key] = (depth - 1, prior_mode)

@@ -351,15 +351,17 @@ def _read_es_bulk(spark: SparkSession, path: str, streaming: bool) -> DataFrame:
                                      f"bad action line {i}: {e}"))
                         i += 1
                         continue
+                    doc_id = (str(info["_id"])
+                              if info.get("_id") is not None else None)
                     if action == "delete":
                         rows.append((action, info.get("_index"),
-                                     str(info.get("_id", "")) or None, None, None))
+                                     doc_id, None, None))
                         i += 1
                     else:
                         src = lines[i + 1] if i + 1 < len(lines) else None
                         rows.append((
                             action, info.get("_index"),
-                            str(info.get("_id", "")) or None, src,
+                            doc_id, src,
                             None if src is not None
                             else f"missing source after line {i}",
                         ))

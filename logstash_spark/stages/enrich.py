@@ -418,6 +418,8 @@ class DnsStage(Stage):
     leaves misses scalar; documented deviation).
     """
 
+    MAP_LITERAL_MAX = 10_000  # above this, dict snapshots become a broadcast join
+
     def _targets(self, df: DataFrame) -> list[str] | None:
         out = [field_name(f) for f in
                list(self.conf.get("resolve", [])) + list(self.conf.get("reverse", []))]
@@ -449,6 +451,29 @@ class DnsStage(Stage):
                 "hosts_df) — live resolvers are per-row blocking syscalls and "
                 "non-deterministic across executors; snapshot-join instead"
             )
+        # big dict/file snapshots auto-switch to the broadcast-join path:
+        # a create_map literal embeds the whole table in the plan, which
+        # is right for small dims but bloats analysis k× at tens of
+        # thousands of entries
+        if snap is not None and len(snap) > self.MAP_LITERAL_MAX:
+            hosts_df = df.sparkSession.createDataFrame(
+                list(snap.items()), "name string, address string"
+            )
+            snap = None
+
+        # one map expression PER DIRECTION, shared by every field that
+        # looks that direction up (not one per field)
+        map_cache: dict[str, Column | None] = {}
+
+        def _direction_map(direction: str) -> Column | None:
+            if direction not in map_cache:
+                table = snap if direction == "fwd" else {
+                    v: k for k, v in reversed(list(snap.items()))
+                }
+                map_cache[direction] = F.create_map(
+                    *[x for k, v in table.items() for x in (F.lit(k), F.lit(v))]
+                ) if table else None
+            return map_cache[direction]
 
         def lookup(src: Column, direction: str, i: int) -> tuple[Column, str | None]:
             """Returns (resolved-value column, tmp-column-to-drop|None).
@@ -457,14 +482,9 @@ class DnsStage(Stage):
             nonlocal df
             key = F.lower(src) if direction == "fwd" else src
             if snap is not None:
-                table = snap if direction == "fwd" else {
-                    v: k for k, v in reversed(list(snap.items()))
-                }
-                if not table:
+                m = _direction_map(direction)
+                if m is None:
                     return F.lit(None).cast("string"), None
-                m = F.create_map(
-                    *[x for k, v in table.items() for x in (F.lit(k), F.lit(v))]
-                )
                 return m[key], None
             name_c, addr_c = hosts_df.columns[:2]
             k_col, v_col = (
@@ -653,16 +673,25 @@ class JdbcStreamingStage(Stage):
             dim_rows = []
             for row in distinct:
                 vals = {p: row[f"__p_{p}"] for p in key_cols}
-                for i, p in enumerate(order):
-                    v = vals[p]
-                    if v is None:
-                        ps.setNull(i + 1, praw[i])
-                    elif ptypes[i] == "long":
-                        ps.setLong(i + 1, int(v))
-                    elif ptypes[i] == "double":
-                        ps.setDouble(i + 1, float(v))
-                    else:
-                        ps.setString(i + 1, v)
+                try:
+                    for i, p in enumerate(order):
+                        v = vals[p]
+                        if v is None:
+                            ps.setNull(i + 1, praw[i])
+                        elif ptypes[i] == "long":
+                            # float renderings ('3.0') bind fine; garbage
+                            # strings against a numeric column are a
+                            # per-tuple lookup MISS (reference behavior:
+                            # the event just gets 0 rows / default_hash),
+                            # never a stage abort
+                            ps.setLong(i + 1, int(float(v)))
+                        elif ptypes[i] == "double":
+                            ps.setDouble(i + 1, float(v))
+                        else:
+                            ps.setString(i + 1, v)
+                except (ValueError, OverflowError):
+                    dim_rows.append(tuple(vals[p] for p in key_cols) + ([],))
+                    continue
                 rs = ps.executeQuery()
                 hits = []
                 while rs.next():

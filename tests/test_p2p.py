@@ -64,3 +64,33 @@ def test_p2p_unwired_address_rejected():
             {"id": "a", "input": {"pipeline": {"address": "ghost"}},
              "outputs": [{"name": "out"}]},
         ])
+
+
+def test_p2p_empty_sender_skipped_and_all_empty_rejected(spark, tmp_path):
+    """A sender whose `when` matches zero rows writes no parquet parts —
+    the bus skips it; if EVERY sender is empty the error is clear."""
+    specs = [
+        {"id": "s1", "outputs": [{"pipeline": {"send_to": "bus"},
+                                  "when": "[lang] == 'xx'"}]},   # matches nothing
+        {"id": "s2", "outputs": [{"pipeline": {"send_to": "bus"}}]},
+        {"id": "dst", "input": {"pipeline": {"address": "bus"}},
+         "outputs": [{"name": "final"}]},
+    ]
+    inputs = {
+        "s1": _df(spark, [("http://a/1", "en", 1)]),
+        "s2": _df(spark, [("http://b/1", "fr", 2)]),
+    }
+    g = PipelineGraph(specs)
+    run_dir = str(tmp_path / "g2")
+    metrics = g.run(spark, inputs, run_dir, n_buckets=2)
+    assert metrics["dst"].events_in == 1  # only s2's row arrived
+
+    g3 = PipelineGraph([
+        {"id": "s", "outputs": [{"pipeline": {"send_to": "b"},
+                                 "when": "[lang] == 'xx'"}]},
+        {"id": "d", "input": {"pipeline": {"address": "b"}},
+         "outputs": [{"name": "o"}]},
+    ])
+    with pytest.raises(ValueError, match="zero rows from every sender"):
+        g3.run(spark, {"s": _df(spark, [("http://a", "en", 1)])},
+               str(tmp_path / "g3"), n_buckets=2)

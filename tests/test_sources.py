@@ -328,6 +328,8 @@ def test_es_bulk_codec(spark, tmp_path):
         '{"create": {"_index": "logs", "_id": "2"}}\n'
         '{"msg": "world", "n": 2}\n'
         '{"delete": {"_index": "logs", "_id": "1"}}\n'
+        '{"index": {"_index": "logs", "_id": null}}\n'
+        '{"msg": "auto-id", "n": 3}\n'
         "not json at all\n"
     )
     from logstash_spark.sources import resolve_input
@@ -336,12 +338,15 @@ def test_es_bulk_codec(spark, tmp_path):
     rows = out.collect()
     ok = {r.doc_id: r for r in rows if r.error is None}
     assert ok["1"].action in ("index", "delete")
-    by_action = {r.action: r for r in rows if r.error is None}
-    assert by_action["index"].source == '{"msg": "hello", "n": 1}'
-    assert by_action["create"].doc_id == "2"
-    assert by_action["delete"].source is None
+    indexed = next(r for r in rows if r.action == "index" and r.doc_id == "1")
+    assert indexed.source == '{"msg": "hello", "n": 1}'
+    assert next(r for r in rows if r.action == "create").doc_id == "2"
+    assert next(r for r in rows if r.action == "delete").source is None
     errs = [r for r in rows if r.error is not None]
     assert len(errs) == 1 and "bad action line" in errs[0].error
+    # JSON-null _id (auto-id request) → NULL doc_id, not the string 'None'
+    auto = next(r for r in rows if r.error is None and r.doc_id is None)
+    assert auto.source == '{"msg": "auto-id", "n": 3}'
 
 
 def test_collectd_codec(spark, tmp_path):
@@ -362,6 +367,13 @@ def test_collectd_codec(spark, tmp_path):
     ])
     (tmp_path / "d1.bin").write_bytes(good)
     (tmp_path / "bad.bin").write_bytes(b"\x00\x06\x00\x03")  # short part
+    # valid VALUES event followed by a truncated tail in ONE datagram:
+    # the decoded event must survive alongside the error row
+    partial = encode_datagram(
+        [{"host": "h2", "plugin": "p", "type": "t",
+          "values": [("gauge", 1.5)]}]
+    ) + b"\x00\x06\x00\x09xx"
+    (tmp_path / "partial.bin").write_bytes(partial)
 
     from logstash_spark.sources import resolve_input
 
@@ -369,7 +381,9 @@ def test_collectd_codec(spark, tmp_path):
     rows = out.collect()
     ok = [r for r in rows if r.error is None]
     errs = [r for r in rows if r.error is not None]
-    assert len(ok) == 3 and len(errs) == 1
+    assert len(ok) == 4 and len(errs) == 2
+    surv = next(r for r in ok if r.host == "h2")
+    assert list(surv.values) == [1.5]  # survived the truncated tail
     idle = next(r for r in ok if r.type_instance == "idle")
     assert idle.host == "web01" and idle.plugin == "cpu"
     assert abs(idle.collectd_time - 1755000000.5) < 1e-6
@@ -380,3 +394,36 @@ def test_collectd_codec(spark, tmp_path):
     assert list(load.values) == [0.25, 0.5, 0.75]
     assert list(load.value_kinds) == ["gauge", "gauge", "gauge"]
     assert "length" in errs[0].error
+
+
+def test_write_batch_mode_pin_survives_concurrency(spark, tmp_path):
+    """Two concurrent write_batch calls on one session must not race the
+    partitionOverwriteMode pin: the depth-counted pin keeps the conf
+    dynamic until the LAST writer leaves, then restores the caller's
+    value (here: unset/STATIC default)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from logstash_spark.router import Router, SinkSpec
+
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "STATIC")  # simulate the vanilla driver session
+    df = spark.createDataFrame(
+        [("u%d" % i, i % 4) for i in range(100)], "url string, bucket int"
+    ).persist()
+    try:
+        def go(i):
+            r = Router([SinkSpec(name=f"out{i}")])
+            return r.write_batch(df, run_dir=str(tmp_path / f"r{i}"),
+                                 mode="overwrite")
+
+        with ThreadPoolExecutor(2) as pool:
+            c1, c2 = list(pool.map(go, [1, 2]))
+        assert c1 == {"out1": 100} and c2 == {"out2": 100}
+        assert spark.conf.get(conf_key) == "STATIC"  # restored once, correctly
+        # both sinks fully written (no cross-truncation)
+        assert spark.read.parquet(str(tmp_path / "r1/out1")).count() == 100
+        assert spark.read.parquet(str(tmp_path / "r2/out2")).count() == 100
+    finally:
+        df.unpersist()
+        spark.conf.set(conf_key, prior)

@@ -287,3 +287,47 @@ def test_jdbc_streaming_guardrails(spark, tmp_path):
         apply_stage(df, {"jdbc_streaming": {**conf, "max_distinct_params": 3}})
     with pytest.raises(ValueError, match="statement binds"):
         apply_stage(df, {"jdbc_streaming": {**conf, "parameters": {"zz": "key"}}})
+
+
+def test_jdbc_streaming_unbindable_param_is_miss_not_abort(spark, tmp_path):
+    """A value that cannot bind to the numeric parameter type is a
+    lookup MISS for that tuple (reference: the event just gets no rows /
+    default_hash) — never a stage abort."""
+    url = f"jdbc:derby:{tmp_path}/js_db3;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    spark.createDataFrame([(3, "three")], "k int, v string").write.mode(
+        "overwrite").format("jdbc").options(
+        url=url, dbtable="t3", driver=driver,
+        createTableColumnTypes="k INTEGER, v VARCHAR(16)").save()
+    df = spark.createDataFrame(
+        [(1, "3.0"), (2, "garbage"), (3, "3")], "id int, key string"
+    )
+    out = apply_stage(
+        df,
+        {"jdbc_streaming": {
+            "jdbc_connection_string": url, "jdbc_driver_class": driver,
+            "statement": 'SELECT "v" FROM t3 WHERE "k" = :k',
+            "parameters": {"k": "key"}, "target": "r",
+            "default_hash": {"v": "none"},
+        }},
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].r[0].v == "three"   # '3.0' binds via float round-trip
+    assert rows[2].r[0].v == "none"    # garbage → miss → default_hash
+    assert rows[3].r[0].v == "three"
+
+
+def test_dns_big_snapshot_autoswitches_to_join(spark):
+    """Dict snapshots above MAP_LITERAL_MAX become a broadcast join
+    instead of a plan-literal create_map (plan-size guard)."""
+    from logstash_spark.stages.enrich import DnsStage
+
+    big = {f"h{i}.internal": f"10.{i >> 8}.{i & 255}.1"
+           for i in range(DnsStage.MAP_LITERAL_MAX + 1)}
+    df = spark.createDataFrame([(1, "h77.internal")], "id int, host string")
+    out = apply_stage(
+        df, {"dns": {"resolve": ["host"], "action": "replace", "hosts": big}}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # not a 10k-entry map literal
+    assert out.collect()[0].host == "10.0.77.1"
