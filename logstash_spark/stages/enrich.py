@@ -746,3 +746,74 @@ class JdbcStreamingStage(Stage):
                 ~F.col("__matched"),
             )
         return out, F.col("__matched")
+
+
+@register("elasticsearch")
+class ElasticsearchStage(Stage):
+    """logstash-filter-elasticsearch:lib/logstash/filters/elasticsearch.rb —
+    per event: run a query against an index, copy fields of the best hit
+    onto the event (``fields => {es_field => event_field}``, ``sort``).
+
+    Spark re-expression: the index is a SNAPSHOT DataFrame — on a
+    cluster that is literally ``spark.read.format("es")`` via the
+    es-hadoop connector (or an exported index in parquet); the sandbox
+    exercises the identical plan with a DataFrame fixture. The supported
+    query subset is the dominant real-world usage, term-equality lookup:
+    ``match: {index_col: event_field_ref}`` (the ``query_template``
+    ``{"term": …}`` shape). ``sort: "col:desc"`` picks the best hit per
+    key DIM-SIDE with native ``max_by``/``min_by`` aggregation BEFORE
+    the broadcast join — the fact side never shuffles and never
+    explodes (the reference copies from the single top hit the same
+    way). Misses tag ``_elasticsearch_lookup_failure`` (reference
+    ``tag_on_failure`` default).
+    """
+
+    TAG = "_elasticsearch_lookup_failure"
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return [field_name(t) for t in self.conf.get("fields", {}).values()] + ["tags"]
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        index_df: DataFrame = self.conf["index_df"]
+        match: dict[str, str] = self.conf["match"]
+        fields: dict[str, str] = self.conf.get("fields", {})
+        if not match:
+            raise ValueError("elasticsearch: match => {index_col: field} required")
+        if not fields:
+            raise ValueError("elasticsearch: fields => {es_field: target} required")
+        sort = self.conf.get("sort")
+
+        keys = list(match)
+        payload = [c for c in fields if c not in keys]
+        if sort:
+            col, _, direction = sort.partition(":")
+            pick = F.max_by if direction.strip() in ("", "desc") else F.min_by
+            agg = pick(F.struct(*payload), F.col(col.strip()))
+        else:
+            agg = F.first(F.struct(*payload))
+        dim = index_df.groupBy(*keys).agg(agg.alias("__es_hit"))
+        renamed = dim.select(
+            *[F.col(k).alias(f"__es_k_{k}") for k in keys], "__es_hit"
+        )
+        cond = None
+        for k, ref in match.items():
+            c = field_col(ref).eqNullSafe(F.col(f"__es_k_{k}")) & field_col(ref).isNotNull()
+            cond = c if cond is None else (cond & c)
+        out = df.join(F.broadcast(renamed), cond, "left").drop(
+            *[f"__es_k_{k}" for k in keys]
+        )
+        out = out.withColumn("__matched", F.col("__es_hit").isNotNull())
+        for es_field, target in fields.items():
+            src = (
+                F.col(f"__es_hit.{es_field}") if es_field in payload
+                # a match key copied as a field equals the probe value
+                else F.when(F.col("__matched"), field_col(match[es_field]))
+            )
+            out = out.withColumn(field_name(target), src)
+        out = out.drop("__es_hit")
+        out = add_tags(
+            out,
+            list(self.conf.get("tag_on_failure", [self.TAG])),
+            ~F.col("__matched"),
+        )
+        return out, F.col("__matched")

@@ -331,3 +331,34 @@ def test_dns_big_snapshot_autoswitches_to_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # not a 10k-entry map literal
     assert out.collect()[0].host == "10.0.77.1"
+
+
+def test_elasticsearch_filter_snapshot_join(spark):
+    """elasticsearch filter: term-lookup against an index snapshot,
+    best hit by sort copied onto the event; misses tagged."""
+    index = spark.createDataFrame(
+        [("c1", "Acme", 10, "2026-01-01"),
+         ("c1", "Acme Corp", 99, "2026-06-01"),   # newer score wins on sort
+         ("c2", "Globex", 50, "2026-03-01")],
+        "customer_id string, name string, score int, updated string",
+    )
+    df = spark.createDataFrame(
+        [(1, "c1"), (2, "c2"), (3, "c404")], "id int, cust string"
+    )
+    out = apply_stage(
+        df,
+        {"elasticsearch": {
+            "index_df": index,
+            "match": {"customer_id": "cust"},
+            "sort": "score:desc",
+            "fields": {"name": "customer_name", "score": "customer_score"},
+        }},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].customer_name == "Acme Corp" and rows[1].customer_score == 99
+    assert rows[2].customer_name == "Globex"
+    assert rows[3].customer_name is None
+    assert "_elasticsearch_lookup_failure" in rows[3].tags
+    assert "_elasticsearch_lookup_failure" not in (rows[1].tags or [])
