@@ -94,3 +94,22 @@ def test_p2p_empty_sender_skipped_and_all_empty_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="zero rows from every sender"):
         g3.run(spark, {"s": _df(spark, [("http://a", "en", 1)])},
                str(tmp_path / "g3"), n_buckets=2)
+
+
+def test_p2p_graph_resume_idempotent(spark, tmp_path):
+    """Re-running a graph with resume=True replays completed pipelines
+    from their checkpoint manifests — per-sink rows unchanged (each
+    hop's address table is covered by its writer's manifest)."""
+    specs = [
+        {"id": "up", "outputs": [{"pipeline": {"send_to": "bus"}}]},
+        {"id": "down", "input": {"pipeline": {"address": "bus"}},
+         "outputs": [{"name": "final"}]},
+    ]
+    inputs = {"up": _df(spark, [("http://a/%d" % i, "en", i) for i in range(20)])}
+    run_dir = str(tmp_path / "gr")
+    g = PipelineGraph(specs)
+    m1 = g.run(spark, inputs, run_dir, n_buckets=4)
+    first = spark.read.parquet(f"{run_dir}/down/final").count()
+    m2 = g.run(spark, inputs, run_dir, n_buckets=4, resume=True)
+    assert spark.read.parquet(f"{run_dir}/down/final").count() == first == 20
+    assert m2["down"].events_in == m1["down"].events_in == 20
