@@ -54,10 +54,31 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    import __spark_entry__ as se
-    from logstash_spark.session import get_spark
+    import os as _os
 
-    spark = get_spark("selfcheck")
+    import __spark_entry__ as se
+
+    if _os.environ.get("SPARK_GRAFT_SELFCHECK_VANILLA"):
+        # driver-parity mode: a plain session with NONE of the engine's
+        # conf (the round-3 checkpoint_resume failure was a latent
+        # session-conf dependency only a vanilla session exposes)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("selfcheck-vanilla")
+            .config("spark.sql.ansi.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.driver.memory", "16g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print("session: VANILLA (driver parity)")
+    else:
+        from logstash_spark.session import get_spark
+
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
