@@ -785,6 +785,11 @@ class ElasticsearchStage(Stage):
 
         keys = list(match)
         payload = [c for c in fields if c not in keys]
+        if not payload:
+            # every requested field is a match key — the hit struct only
+            # marks existence (F.struct() of nothing is not expressible)
+            payload = ["__es_exists"]
+            index_df = index_df.withColumn("__es_exists", F.lit(True))
         if sort:
             col, _, direction = sort.partition(":")
             pick = F.max_by if direction.strip() in ("", "desc") else F.min_by
