@@ -790,32 +790,61 @@ class ElasticsearchStage(Stage):
             # marks existence (F.struct() of nothing is not expressible)
             payload = ["__es_exists"]
             index_df = index_df.withColumn("__es_exists", F.lit(True))
+        # best-hit pick via a dim-side window, fully deterministic:
+        #  * rows whose sort column is null are returned LAST, not lost
+        #    (ES "missing: _last" default — max_by over a nullable sort
+        #    key would silently DROP a key whose every row has a null
+        #    sort value);
+        #  * a bare sort field defaults to ASC (the ES sort default);
+        #  * without a sort, every column is a stable tiebreak (F.first
+        #    over an unordered group would be retry/resume
+        #    nondeterministic, breaking checkpoint replay).
+        from pyspark.sql.window import Window
+
+        q = lambda c: F.col(f"`{c}`")  # noqa: E731 — dotted ES names stay literal
         if sort:
-            col, _, direction = sort.partition(":")
-            pick = F.max_by if direction.strip() in ("", "desc") else F.min_by
-            agg = pick(F.struct(*payload), F.col(col.strip()))
+            scol, _, direction = sort.partition(":")
+            primary = (
+                q(scol.strip()).desc_nulls_last()
+                if direction.strip() == "desc"
+                else q(scol.strip()).asc_nulls_last()
+            )
+            order = [primary]
         else:
-            agg = F.first(F.struct(*payload))
-        dim = index_df.groupBy(*keys).agg(agg.alias("__es_hit"))
-        renamed = dim.select(
-            *[F.col(k).alias(f"__es_k_{k}") for k in keys], "__es_hit"
+            order = []
+        tiebreak = [q(c) for c in index_df.columns if not c.startswith("__es_")]
+        w = Window.partitionBy(*[q(k) for k in keys]).orderBy(*order, *tiebreak)
+        hit_struct = F.struct(*[q(c).alias(c) for c in payload])
+        dim = (
+            index_df.withColumn("__es_rn", F.row_number().over(w))
+            .filter(F.col("__es_rn") == 1)
+            .select(
+                *[q(k).alias(f"__es_k_{k}") for k in keys],
+                hit_struct.alias("__es_hit"),
+            )
         )
         cond = None
         for k, ref in match.items():
-            c = field_col(ref).eqNullSafe(F.col(f"__es_k_{k}")) & field_col(ref).isNotNull()
+            c = field_col(ref) == F.col(f"__es_k_{k}")
             cond = c if cond is None else (cond & c)
-        out = df.join(F.broadcast(renamed), cond, "left").drop(
+        out = df.join(F.broadcast(dim), cond, "left").drop(
             *[f"__es_k_{k}" for k in keys]
         )
         out = out.withColumn("__matched", F.col("__es_hit").isNotNull())
+        # snapshot probe values BEFORE any target write: a fields entry
+        # may overwrite the very column a later match-key copy reads
+        # (the dns/jdbc lazy-reevaluation lesson)
+        probes = {k: f"__es_probe_{k}" for k in keys if k in fields}
+        for k, tmp in probes.items():
+            out = out.withColumn(tmp, field_col(match[k]))
         for es_field, target in fields.items():
             src = (
-                F.col(f"__es_hit.{es_field}") if es_field in payload
+                F.col("__es_hit").getField(es_field) if es_field in payload
                 # a match key copied as a field equals the probe value
-                else F.when(F.col("__matched"), field_col(match[es_field]))
+                else F.when(F.col("__matched"), F.col(probes[es_field]))
             )
             out = out.withColumn(field_name(target), src)
-        out = out.drop("__es_hit")
+        out = out.drop("__es_hit", *probes.values())
         out = add_tags(
             out,
             list(self.conf.get("tag_on_failure", [self.TAG])),

@@ -362,3 +362,57 @@ def test_elasticsearch_filter_snapshot_join(spark):
     assert rows[3].customer_name is None
     assert "_elasticsearch_lookup_failure" in rows[3].tags
     assert "_elasticsearch_lookup_failure" not in (rows[1].tags or [])
+
+
+def test_elasticsearch_filter_edge_semantics(spark):
+    """Review-driven edges: null sort values return (last), bare sort
+    field is ASC (the ES default), match-key copy is order-independent,
+    dotted ES field names work."""
+    index = spark.createDataFrame(
+        [("k1", None, "null-score-doc"), ("k2", 9, "high"), ("k2", 1, "low")],
+        "customer_id string, score int, name string",
+    )
+    df = spark.createDataFrame([(1, "k1"), (2, "k2")], "id int, cust string")
+    # a key whose EVERY row has a null sort value still hits (ES
+    # missing:_last returns the doc; max_by would have dropped it)
+    out = apply_stage(
+        df,
+        {"elasticsearch": {"index_df": index,
+                           "match": {"customer_id": "cust"},
+                           "sort": "score:desc",
+                           "fields": {"name": "nm"}}},
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].nm == "null-score-doc" and not rows[1].tags
+    assert rows[2].nm == "high"
+    # bare sort field → ASC, the ES default
+    out2 = apply_stage(
+        df,
+        {"elasticsearch": {"index_df": index,
+                           "match": {"customer_id": "cust"},
+                           "sort": "score",
+                           "fields": {"name": "nm"}}},
+    )
+    assert {r.id: r.nm for r in out2.collect()}[2] == "low"
+    # match-key copy reads the PROBE value even when an earlier fields
+    # entry overwrote the probe column in place
+    out3 = apply_stage(
+        df,
+        {"elasticsearch": {"index_df": index,
+                           "match": {"customer_id": "cust"},
+                           "sort": "score:desc",
+                           "fields": {"name": "cust", "customer_id": "cid"}}},
+    )
+    r2 = {r.id: r for r in out3.collect()}[2]
+    assert r2.cust == "high" and r2.cid == "k2"
+    # dotted ES field names stay literal (standard in ES object mappings)
+    dotted = spark.createDataFrame(
+        [("k1", "alice")], ["customer_id", "user.name"]
+    )
+    out4 = apply_stage(
+        df,
+        {"elasticsearch": {"index_df": dotted,
+                           "match": {"customer_id": "cust"},
+                           "fields": {"user.name": "uname"}}},
+    )
+    assert {r.id: r.uname for r in out4.collect()} == {1: "alice", 2: None}
