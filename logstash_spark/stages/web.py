@@ -11,7 +11,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..extract import extract_text_udf
+import os
+
+from ..extract import extract_text_column
 from ..fieldref import field_col
 from .base import Stage, register
 
@@ -24,7 +26,23 @@ class ExtractTextStage(Stage):
     huge ``html`` binary column, so the pipeline should project ``html``
     away immediately after (SURVEY §4: keep html-touching UDFs early &
     select-pruned so the binary never reaches a shuffle).
-    conf: source (default html), target (default text), drop_source.
+    conf: source (default html), target (default text), drop_source,
+    mode (python|auto|native — default python; env LS_SPARK_EXTRACT_MODE
+    overrides for A/B benchmarking).
+
+    Round-5 finding (measure, don't guess): we built the JVM-native
+    Catalyst lowering the round-4 verdict asked for
+    (extract.extract_text_column mode=auto/native, byte-differential
+    gated, guard-routed oracle fallback) and MEASURED it slower than
+    the Arrow path — 2.6 MB/s/core vs 20.1 MB/s/core for the
+    CPython-regex oracle through Spark local[1], 32.2 MB/s/core raw
+    (BASELINE.md round-5 extractor study). Java
+    regex pays a UTF8String→UTF-16 conversion per regexp_replace pass
+    plus slower alternation scanning; CPython's sre + C-level
+    str.translate/split win. The default therefore stays on the
+    vectorized Arrow oracle path; auto/native remain available and
+    byte-identity-tested (tests/test_extract_native.py) for engines/
+    clusters where Python workers are the scarce resource.
     """
 
     def _targets(self, df: DataFrame) -> list[str] | None:
@@ -35,7 +53,10 @@ class ExtractTextStage(Stage):
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         source = self.conf.get("source", "html")
         target = self.conf.get("target", "text")
-        df = df.withColumn(target, extract_text_udf()(field_col(source)))
+        mode = os.environ.get(
+            "LS_SPARK_EXTRACT_MODE", self.conf.get("mode", "python")
+        )
+        df = df.withColumn(target, extract_text_column(field_col(source), mode=mode))
         if self.conf.get("drop_source", False):
             df = df.drop(source)
         return df, F.col(target).isNotNull()
