@@ -838,7 +838,19 @@ def compile_grok(
         return _GROK_REF.sub(repl, pat)
 
     expanded = translate_posix_classes(expand(pattern, 0))
-    return CompiledGrok(regex=re.compile(expanded), fields=fields)
+    try:
+        compiled = re.compile(expanded)
+    except re.error as e:
+        # requires-python is >=3.11 (possessive quantifiers / atomic
+        # groups landed in 3.11 re), but surface a dialect-level message
+        # rather than a raw sre error if a construct still misses.
+        raise ValueError(
+            f"grok pattern uses a regex construct unsupported by this "
+            f"Python re dialect ({e}); possessive quantifiers and atomic "
+            f"groups need Python >= 3.11, negated POSIX classes and "
+            f"Oniguruma callouts are unsupported by design"
+        ) from e
+    return CompiledGrok(regex=compiled, fields=fields)
 
 
 _PD_CAST = {"int": "Int64", "float": "Float64", "string": "object"}

@@ -492,9 +492,13 @@ class DnsStage(Stage):
                 else (F.col(addr_c), F.col(name_c))
             )
             tmp = f"__dns_{direction}_{i}"
+            # duplicate keys in the hosts snapshot pick min(value) — a
+            # DETERMINISTIC winner (F.first over an unordered groupBy is
+            # retry/replay-nondeterministic; same hazard the es filter's
+            # window pick avoids)
             dim = (
                 hosts_df.select(k_col.alias(tmp + "_k"), v_col.alias(tmp + "_v"))
-                .groupBy(tmp + "_k").agg(F.first(tmp + "_v").alias(tmp + "_v"))
+                .groupBy(tmp + "_k").agg(F.min(tmp + "_v").alias(tmp + "_v"))
             )
             df = df.join(F.broadcast(dim), key == F.col(tmp + "_k"), "left").drop(tmp + "_k")
             return F.col(tmp + "_v"), tmp + "_v"
@@ -600,9 +604,15 @@ class JdbcStreamingStage(Stage):
     result dim back on the tuple. Per-event results are identical to
     the reference for any statement that is a pure function of its
     parameters (the cache assumption the reference itself makes).
-    When distinct-param cardinality exceeds the guard the stage raises
-    with a pointer to jdbc_static (preload + join) — the scale path
-    for high-cardinality keys.
+    When distinct-param cardinality exceeds the guard the stage
+    DEGRADES GRACEFULLY to the jdbc_static-shaped plan: the statement's
+    ``col = :param`` equality conjuncts are lifted out, the rewritten
+    query is read ONCE through the distributed jdbc source, and the
+    per-tuple dim is rebuilt with a distributed join against the
+    batch's keys — identical enrichment (pytest-proven), no driver
+    collect. Statements whose params are not plain top-level equality
+    conjuncts (LIKE, expressions, nested SELECT, GROUP BY…) keep the
+    loud error — that shape is genuinely unbounded; use jdbc_static.
     """
 
     def _targets(self, df: DataFrame) -> list[str] | None:
@@ -640,17 +650,29 @@ class JdbcStreamingStage(Stage):
 
         # distinct parameter tuples from THIS batch ≙ the LRU hit cache
         key_cols = list(dict.fromkeys(order)) or list(parameters)
+        if not key_cols:
+            raise ValueError(
+                "jdbc_streaming: the statement has no :param placeholders "
+                "and `parameters` is empty — nothing binds the query to "
+                "events. Use jdbc_static for a parameterless preload, or "
+                "add a :param / parameters entry."
+            )
         keys_df = df.select(
             *[field_col(parameters[p]).cast("string").alias(f"__p_{p}")
               for p in key_cols]
         ).distinct()
         distinct = keys_df.limit(max_distinct + 1).collect()
         if len(distinct) > max_distinct:
-            raise ValueError(
-                f"jdbc_streaming: >{max_distinct} distinct parameter tuples "
-                "in one batch — use jdbc_static (preload + broadcast join) "
-                "for high-cardinality keys, or raise max_distinct_params"
-            )
+            # graceful degradation (round 5): above the guard, switch to
+            # the jdbc_static-shaped plan — ONE partitioned spark.read of
+            # the statement with its param predicates lifted out, joined
+            # back to the batch's keys distributed-side (no driver
+            # collect, no per-tuple executions). Only statements whose
+            # every :param sits in a top-level `col = :param` equality
+            # conjunct qualify; anything else keeps the loud error.
+            return self._transform_degraded(
+                df, spark, statement, sql, order, parameters, key_cols,
+                keys_df, target, url, driver, max_distinct)
 
         jvm = spark._jvm
         jvm.java.lang.Class.forName(driver)
@@ -718,11 +740,17 @@ class JdbcStreamingStage(Stage):
             + f", {target} array<struct<{struct_t}>>"
         )
         dim = spark.createDataFrame(dim_rows, schema)
+        return self._join_dim(df, F.broadcast(dim), key_cols, parameters,
+                              target, names, types)
+
+    def _join_dim(self, df, dim, key_cols, parameters, target, names, types):
+        """Shared tail of both regimes: left-join the per-tuple dim back
+        onto the events, then apply default_hash/tag_on_default_use."""
         join_cond = None
         for p in key_cols:
             c = field_col(parameters[p]).cast("string").eqNullSafe(F.col(f"__p_{p}"))
             join_cond = c if join_cond is None else (join_cond & c)
-        out = df.join(F.broadcast(dim), join_cond, "left").drop(
+        out = df.join(dim, join_cond, "left").drop(
             *[f"__p_{p}" for p in key_cols]
         )
         # materialize BEFORE the default_hash overwrite of `target` —
@@ -746,6 +774,141 @@ class JdbcStreamingStage(Stage):
                 ~F.col("__matched"),
             )
         return out, F.col("__matched")
+
+    def _transform_degraded(self, df, spark, statement, sql, order,
+                            parameters, key_cols, keys_df, target,
+                            url, driver, max_distinct):
+        """High-cardinality regime: rewrite ``col = :param`` equality
+        conjuncts to ``1=1``, hoist each ``col`` into the projection, read
+        the whole rewritten statement ONCE via the distributed jdbc
+        source, and rebuild the per-tuple dim by joining it to the
+        batch's distinct keys (matching the fast path's exact bind
+        semantics: long params truncate through float, garbage strings
+        are per-tuple misses, NULL never equals). Statement shapes whose
+        parameters are not plain top-level equality conjuncts keep the
+        loud guard error — that case is genuinely unbounded.
+
+        ORDER BY inside the statement is NOT preserved within each
+        result array in this regime (a distributed join has no row
+        order); arrays come back sorted by their full struct value
+        instead — deterministic, documented deviation.
+        """
+        import re as _re
+
+        def _unsupported(why: str):
+            return ValueError(
+                f"jdbc_streaming: >{max_distinct} distinct parameter "
+                f"tuples in one batch and the statement does not qualify "
+                f"for the degraded jdbc_static-shaped plan ({why}) — use "
+                "jdbc_static (preload + join) for high-cardinality keys, "
+                "or raise max_distinct_params"
+            )
+
+        up = statement.upper()
+        for kw in (" GROUP BY ", " DISTINCT ", " UNION ", " HAVING "):
+            if kw in f" {' '.join(up.split())} ":
+                raise _unsupported(f"contains {kw.strip()}")
+        if up.count("SELECT") != 1:
+            raise _unsupported("nested SELECT")
+
+        # locate each param's `col = :param` (or reversed) conjunct
+        idents: dict[str, str] = {}
+        rewritten = statement
+        for p in key_cols:
+            pat = _re.compile(
+                r'("[\w.]+"|[\w.]+)\s*=\s*:' + p + r'\b'
+                r'|:' + p + r'\b\s*=\s*("[\w.]+"|[\w.]+)'
+            )
+            ms = list(pat.finditer(rewritten))
+            if len(ms) != 1:
+                raise _unsupported(
+                    f":{p} must appear exactly once as a top-level "
+                    f"`col = :{p}` equality (found {len(ms)})"
+                )
+            idents[p] = ms[0].group(1) or ms[0].group(2)
+            rewritten = pat.sub("1=1", rewritten, count=1)
+        if _re.search(r":\w+", rewritten):
+            raise _unsupported("a :param is used outside an equality conjunct")
+
+        # hoist the key columns in front of the original projection
+        # double-quoted aliases: plain identifiers may not start with '_'
+        # in some dialects (Derby), and quoting pins the label case
+        key_sel = ", ".join(
+            f'{idents[p]} AS "__pk_{j}"' for j, p in enumerate(key_cols)
+        )
+        rewritten, nsub = _re.subn(
+            r"^\s*SELECT\s+", f"SELECT {key_sel}, ", rewritten,
+            count=1, flags=_re.I,
+        )
+        proj = _re.split(r"\bFROM\b", rewritten, flags=_re.I)[0]
+        if nsub != 1 or "*" in proj:
+            raise _unsupported("projection must be an explicit column list")
+
+        # result-column + param types from the ORIGINAL statement's
+        # PreparedStatement metadata (one prepare, zero executions)
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(driver)
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            ps = conn.prepareStatement(sql)
+            meta = ps.getMetaData()
+            ncols = meta.getColumnCount()
+            names = [meta.getColumnLabel(i + 1).lower() for i in range(ncols)]
+            types = [_JDBC_TYPE_MAP.get(meta.getColumnType(i + 1), "string")
+                     for i in range(ncols)]
+            try:
+                pmeta = ps.getParameterMetaData()
+                praw = [pmeta.getParameterType(i + 1) for i in range(len(order))]
+            except Exception:
+                praw = [12] * len(order)
+            ps.close()
+        finally:
+            conn.close()
+        ptype_of = {
+            p: _JDBC_TYPE_MAP.get(praw[order.index(p)], "string")
+            for p in key_cols
+        }
+
+        dim_raw = (
+            spark.read.format("jdbc")
+            .options(url=url, driver=driver, query=rewritten)
+            .load()
+        )
+        raw_cols = dim_raw.columns
+        nk = len(key_cols)
+
+        # keys_df (raw event strings) ⋈ dim_raw, reproducing the fast
+        # path's bind coercions column-by-column
+        cond = None
+        for j, p in enumerate(key_cols):
+            ev = F.col(f"__p_{p}")
+            db = F.col(f"`{raw_cols[j]}`")
+            t = ptype_of[p]
+            if t == "long":
+                # setLong(int(float(v))): parse as double, truncate to long
+                c = ev.try_cast("double").try_cast("long") == db.try_cast("long")
+            elif t == "double":
+                c = ev.try_cast("double") == db.try_cast("double")
+            else:
+                c = ev == db.try_cast("string")
+            cond = c if cond is None else (cond & c)
+        hit = F.col(f"`{raw_cols[0]}`").isNotNull()
+        struct_cols = F.struct(*[
+            F.col(f"`{raw_cols[nk + i]}`").try_cast(t).alias(n)
+            for i, (n, t) in enumerate(zip(names, types))
+        ])
+        struct_t = ", ".join(f"{n}: {t}" for n, t in zip(names, types))
+        dim = (
+            keys_df.join(dim_raw, cond, "left")
+            .groupBy(*[F.col(f"__p_{p}") for p in key_cols])
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.when(hit, struct_cols))
+                ).cast(f"array<struct<{struct_t}>>").alias(target)
+            )
+        )
+        return self._join_dim(df, dim, key_cols, parameters,
+                              target, names, types)
 
 
 @register("elasticsearch")
@@ -812,7 +975,26 @@ class ElasticsearchStage(Stage):
             order = [primary]
         else:
             order = []
-        tiebreak = [q(c) for c in index_df.columns if not c.startswith("__es_")]
+        # tiebreak only on ORDERABLE columns: a map-typed column (legal in
+        # an ES export) cannot appear in an ORDER BY — Spark's rule is
+        # map → never orderable; array/struct → orderable iff their
+        # element/field types are.
+        from pyspark.sql import types as T
+
+        def _orderable(dt) -> bool:
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
+
+        tiebreak = [
+            q(f.name)
+            for f in index_df.schema.fields
+            if not f.name.startswith("__es_") and _orderable(f.dataType)
+        ]
         w = Window.partitionBy(*[q(k) for k in keys]).orderBy(*order, *tiebreak)
         hit_struct = F.struct(*[q(c).alias(c) for c in payload])
         dim = (

@@ -283,10 +283,63 @@ def test_jdbc_streaming_guardrails(spark, tmp_path):
     conf = {"jdbc_connection_string": url, "jdbc_driver_class": driver,
             "statement": 'SELECT "v" FROM t WHERE "k" = :k',
             "parameters": {"k": "key"}, "target": "r"}
-    with pytest.raises(ValueError, match="distinct parameter tuples"):
-        apply_stage(df, {"jdbc_streaming": {**conf, "max_distinct_params": 3}})
+    # over-guard with a non-equality param shape: the loud error remains
+    with pytest.raises(ValueError, match="does not qualify"):
+        apply_stage(df, {"jdbc_streaming": {
+            **conf, "max_distinct_params": 3,
+            "statement": 'SELECT "v" FROM t WHERE "k" > :k'}})
     with pytest.raises(ValueError, match="statement binds"):
         apply_stage(df, {"jdbc_streaming": {**conf, "parameters": {"zz": "key"}}})
+    with pytest.raises(ValueError, match="no :param placeholders"):
+        apply_stage(df, {"jdbc_streaming": {
+            **conf, "statement": "SELECT 1 FROM t", "parameters": {}}})
+
+
+def test_jdbc_streaming_degrades_to_static_plan_above_guard(spark, tmp_path):
+    """VERDICT r4 #2: above max_distinct_params the stage switches to a
+    partitioned spark.read.jdbc + distributed join (the jdbc_static
+    shape) and returns IDENTICAL enrichment — including the float
+    round-trip bind coercion, garbage-string misses, NULL params, and
+    default_hash — with the error reserved for unbounded shapes."""
+    url = f"jdbc:derby:{tmp_path}/js_db4;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    spark.createDataFrame(
+        [(k, f"srv{k}", k % 3) for k in range(20)] + [(5, "srv5b", 9)],
+        "k int, name string, zone int",
+    ).write.mode("overwrite").format("jdbc").options(
+        url=url, dbtable="hosts4", driver=driver,
+        createTableColumnTypes="k INTEGER, name VARCHAR(32), zone INTEGER",
+    ).save()
+    events = [(i, str(i % 8)) for i in range(16)] + [
+        (100, "5.0"),      # float rendering binds to key 5
+        (101, "garbage"),  # unbindable → miss → default_hash
+        (102, None),       # NULL param never equals
+    ]
+    df = spark.createDataFrame(events, "id int, key string")
+    conf = {
+        "jdbc_connection_string": url, "jdbc_driver_class": driver,
+        "statement": 'SELECT "name", "zone" FROM hosts4 WHERE "k" = :k',
+        "parameters": {"k": "key"}, "target": "host_info",
+        "default_hash": {"name": "unknown"},
+    }
+    fast = apply_stage(df, {"jdbc_streaming": {**conf,
+                                               "max_distinct_params": 1000}})
+    slow = apply_stage(df, {"jdbc_streaming": {**conf,
+                                               "max_distinct_params": 3}})
+    assert fast.schema == slow.schema
+    f_rows = {r.id: r for r in fast.collect()}
+    s_rows = {r.id: r for r in slow.collect()}
+    assert set(f_rows) == set(s_rows)
+    for i in f_rows:
+        # array order is deterministic-but-unspecified in the degraded
+        # regime (documented deviation) → compare as sorted sets
+        assert sorted(map(tuple, f_rows[i].host_info)) == \
+            sorted(map(tuple, s_rows[i].host_info)), f"id {i}"
+        assert (f_rows[i].tags or []) == (s_rows[i].tags or []), f"id {i}"
+    assert s_rows[100].host_info[0].name == "srv5"
+    assert s_rows[101].host_info[0].name == "unknown"
+    assert s_rows[102].host_info[0].name == "unknown"
+    assert sorted(s.name for s in s_rows[5].host_info) == ["srv5", "srv5b"]
 
 
 def test_jdbc_streaming_unbindable_param_is_miss_not_abort(spark, tmp_path):
@@ -416,3 +469,37 @@ def test_elasticsearch_filter_edge_semantics(spark):
                            "fields": {"user.name": "uname"}}},
     )
     assert {r.id: r.uname for r in out4.collect()} == {1: "alice", 2: None}
+
+
+def test_dns_duplicate_host_keys_pick_deterministically(spark):
+    """ADVICE r4: duplicate keys in a hosts snapshot must resolve to the
+    SAME value on every run/retry (min, not an unordered F.first)."""
+    dim = spark.createDataFrame(
+        [("db.internal", "10.0.0.9"), ("db.internal", "10.0.0.2"),
+         ("DB.INTERNAL", "10.0.0.5")],
+        "name string, addr string",
+    )
+    df = spark.createDataFrame([(1, "db.internal")], "id int, host string")
+    conf = {"dns": {"resolve": ["host"], "action": "replace", "hosts_df": dim}}
+    picks = {apply_stage(df, conf).collect()[0].host for _ in range(3)}
+    assert picks == {"10.0.0.2"}  # min over all case-folded dupes
+
+
+def test_elasticsearch_filter_map_column_in_index(spark):
+    """ADVICE r4: a map-typed column (legal in an ES export) must not
+    break the no-sort tiebreak window — unorderable columns are skipped."""
+    from pyspark.sql import functions as F
+
+    index = spark.createDataFrame(
+        [("k1", "doc-a"), ("k1", "doc-b")], "customer_id string, name string"
+    ).withColumn("labels", F.create_map(F.lit("env"), F.lit("prod")))
+    df = spark.createDataFrame([(1, "k1"), (2, "k404")], "id int, cust string")
+    out = apply_stage(
+        df,
+        {"elasticsearch": {"index_df": index,
+                           "match": {"customer_id": "cust"},
+                           "fields": {"name": "nm"}}},
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].nm == "doc-a"  # orderable columns still break the tie
+    assert rows[2].nm is None
