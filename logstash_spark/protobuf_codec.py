@@ -1,0 +1,289 @@
+"""Protobuf codec.
+
+Reference counterpart: logstash-codec-protobuf
+(lib/logstash/codecs/protobuf.rb) — decodes each payload into an event
+via a compiled protobuf class (``class_name`` + ``include_path``).
+
+Spark re-expression, with the avro codec's dual stance
+(jar-or-pure-Python ⇒ here lib-or-pure-Python):
+
+* **Library path**: when ``google.protobuf`` is importable, decode with
+  a message class materialized from a serialized ``FileDescriptorSet``
+  (``descriptor_set`` bytes/path + ``class_name``) — the direct analog
+  of the reference's compiled-class decode. Gated behind a lazy import
+  with a clear error when the lib is absent (this sandbox has no
+  protobuf wheel; the code path is written and contract-shaped, the
+  test skips-if-no-lib).
+* **Pure-Python path** (works everywhere): a wire-format decoder driven
+  by an explicit ``wire_schema`` — ``{field_number: (name, type)}``
+  with types ``int32 int64 uint32 uint64 sint32 sint64 bool enum
+  fixed32 fixed64 sfixed32 sfixed64 float double string bytes``, list
+  wrappers ``("repeated", t)`` and nested ``("message", name, subschema)``
+  / ``("repeated_message", name, subschema)``. Packed repeated scalars
+  (proto3 default) and unknown-field skipping per wire type are
+  handled. This is the protobuf WIRE spec (public docs), not a port of
+  any decoder.
+
+Framing: one message per file (``binaryFile``), or
+``delimited=True`` for varint-length-prefixed streams (the standard
+``writeDelimitedTo`` framing). Corrupt payloads yield an error row,
+never a task abort (collectd/netflow precedent).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+_SCALAR_SPARK = {
+    "int32": "long", "int64": "long", "uint32": "long", "uint64": "long",
+    "sint32": "long", "sint64": "long", "bool": "boolean", "enum": "long",
+    "fixed32": "long", "fixed64": "long", "sfixed32": "long",
+    "sfixed64": "long", "float": "double", "double": "double",
+    "string": "string", "bytes": "binary",
+}
+_VARINT_TYPES = {"int32", "int64", "uint32", "uint64", "sint32", "sint64",
+                 "bool", "enum"}
+_FIXED64 = {"fixed64", "sfixed64", "double"}
+_FIXED32 = {"fixed32", "sfixed32", "float"}
+
+
+def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Little-endian base-128 varint → (value, new_pos)."""
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+
+
+def _zigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _coerce_varint(raw: int, typ: str) -> int | bool:
+    if typ in ("sint32", "sint64"):
+        return _zigzag(raw)
+    if typ == "bool":
+        return bool(raw)
+    if typ == "int32" and raw >= 1 << 63:
+        # negative int32/int64 are encoded as 10-byte two's-complement
+        raw -= 1 << 64
+    elif typ == "int64" and raw >= 1 << 63:
+        raw -= 1 << 64
+    return raw
+
+
+def _norm_field(spec) -> tuple[str, str, dict | None]:
+    """Normalize a wire_schema entry → (name, type, subschema|None)."""
+    if len(spec) == 2:
+        name, typ = spec
+        if isinstance(typ, (tuple, list)):  # ("repeated", t)
+            return name, f"repeated {typ[1]}", None
+        return name, typ, None
+    kind, name, sub = spec[0], spec[1], spec[2]
+    if kind == "message":
+        return name, "message", sub
+    if kind == "repeated_message":
+        return name, "repeated_message", sub
+    raise ValueError(f"bad wire_schema entry: {spec!r}")
+
+
+def spark_ddl(wire_schema: dict) -> str:
+    """wire_schema → Spark DDL for the decoded struct columns."""
+    parts = []
+    for fnum in sorted(wire_schema):
+        name, typ, sub = _norm_field(wire_schema[fnum])
+        if typ == "message":
+            parts.append(f"{name} struct<{spark_ddl(sub)}>")
+        elif typ == "repeated_message":
+            parts.append(f"{name} array<struct<{spark_ddl(sub)}>>")
+        elif typ.startswith("repeated "):
+            parts.append(f"{name} array<{_SCALAR_SPARK[typ.split()[1]]}>")
+        else:
+            parts.append(f"{name} {_SCALAR_SPARK[typ]}")
+    return ", ".join(parts)
+
+
+def decode_message(data: bytes, wire_schema: dict) -> dict:
+    """One message's bytes → {name: value} (missing fields → None;
+    repeated fields → list, absent repeated → [])."""
+    import struct as _struct
+
+    out: dict = {}
+    for fnum in sorted(wire_schema):
+        name, typ, _ = _norm_field(wire_schema[fnum])
+        out[name] = [] if typ.startswith("repeated") else None
+    pos, n = 0, len(data)
+    while pos < n:
+        tag, pos = read_varint(data, pos)
+        fnum, wt = tag >> 3, tag & 7
+        spec = wire_schema.get(fnum)
+        name, typ, sub = _norm_field(spec) if spec else (None, None, None)
+        if wt == 0:
+            raw, pos = read_varint(data, pos)
+            if spec:
+                base = typ.split()[-1]
+                v = _coerce_varint(raw, base)
+                if typ.startswith("repeated"):
+                    out[name].append(v)
+                else:
+                    out[name] = v
+        elif wt == 1:
+            if pos + 8 > n:
+                raise ValueError("truncated fixed64")
+            chunk = data[pos:pos + 8]
+            pos += 8
+            if spec:
+                base = typ.split()[-1]
+                if base == "double":
+                    v = _struct.unpack("<d", chunk)[0]
+                elif base == "sfixed64":
+                    v = _struct.unpack("<q", chunk)[0]
+                else:
+                    v = _struct.unpack("<Q", chunk)[0]
+                if typ.startswith("repeated"):
+                    out[name].append(v)
+                else:
+                    out[name] = v
+        elif wt == 5:
+            if pos + 4 > n:
+                raise ValueError("truncated fixed32")
+            chunk = data[pos:pos + 4]
+            pos += 4
+            if spec:
+                base = typ.split()[-1]
+                if base == "float":
+                    v = float(_struct.unpack("<f", chunk)[0])
+                elif base == "sfixed32":
+                    v = _struct.unpack("<i", chunk)[0]
+                else:
+                    v = _struct.unpack("<I", chunk)[0]
+                if typ.startswith("repeated"):
+                    out[name].append(v)
+                else:
+                    out[name] = v
+        elif wt == 2:
+            ln, pos = read_varint(data, pos)
+            if pos + ln > n:
+                raise ValueError("truncated length-delimited field")
+            chunk = data[pos:pos + ln]
+            pos += ln
+            if not spec:
+                continue
+            if typ == "message":
+                out[name] = decode_message(chunk, sub)
+            elif typ == "repeated_message":
+                out[name].append(decode_message(chunk, sub))
+            elif typ == "string":
+                out[name] = chunk.decode("utf-8", errors="replace")
+            elif typ == "bytes":
+                out[name] = bytes(chunk)
+            elif typ == "repeated string":
+                out[name].append(chunk.decode("utf-8", errors="replace"))
+            elif typ == "repeated bytes":
+                out[name].append(bytes(chunk))
+            elif typ.startswith("repeated "):
+                # packed repeated scalars (proto3 default encoding)
+                base = typ.split()[1]
+                p = 0
+                while p < ln:
+                    if base in _VARINT_TYPES:
+                        raw, p = read_varint(chunk, p)
+                        out[name].append(_coerce_varint(raw, base))
+                    elif base in _FIXED64:
+                        fmt = {"double": "<d", "sfixed64": "<q"}.get(base, "<Q")
+                        out[name].append(_struct.unpack(fmt, chunk[p:p + 8])[0])
+                        p += 8
+                    else:
+                        fmt = {"float": "<f", "sfixed32": "<i"}.get(base, "<I")
+                        v = _struct.unpack(fmt, chunk[p:p + 4])[0]
+                        out[name].append(float(v) if base == "float" else v)
+                        p += 4
+            else:
+                raise ValueError(
+                    f"field {fnum} declared {typ} but wire type is 2"
+                )
+        elif wt in (3, 4):
+            raise ValueError("deprecated group wire types unsupported")
+        else:
+            raise ValueError(f"unknown wire type {wt}")
+    return out
+
+
+def split_delimited(data: bytes) -> list[bytes]:
+    """varint-length-prefixed stream (writeDelimitedTo) → messages."""
+    out, pos = [], 0
+    while pos < len(data):
+        ln, pos = read_varint(data, pos)
+        if pos + ln > len(data):
+            raise ValueError("truncated delimited message")
+        out.append(data[pos:pos + ln])
+        pos += ln
+    return out
+
+
+def decode_with_lib(payloads, class_name: str, descriptor_set: bytes):
+    """Library path: materialize `class_name` from a serialized
+    FileDescriptorSet and decode each payload to a dict. Raises a clear
+    gate error when google.protobuf is absent (no wheel in-sandbox)."""
+    try:
+        from google.protobuf import descriptor_pb2, message_factory
+    except ImportError as e:  # pragma: no cover - exercised via gate test
+        raise ImportError(
+            "protobuf codec class_name mode needs the google.protobuf "
+            "package (pip install protobuf); in environments without it "
+            "use wire_schema mode — same decode, no dependency"
+        ) from e
+    fds = descriptor_pb2.FileDescriptorSet.FromString(descriptor_set)
+    classes = message_factory.GetMessages(list(fds.file))
+    cls = classes[class_name]
+    out = []
+    for p in payloads:
+        msg = cls.FromString(p)
+        out.append({f.name: getattr(msg, f.name) for f in cls.DESCRIPTOR.fields})
+    return out
+
+
+def read_protobuf(spark, path: str, wire_schema: dict,
+                  delimited: bool = False, streaming: bool = False):
+    """binaryFile scan → mapInPandas wire decode. One message per file,
+    or a writeDelimitedTo stream per file when ``delimited``."""
+    ddl = spark_ddl(wire_schema) + ", error string"
+    names = [
+        _norm_field(wire_schema[f])[0] for f in sorted(wire_schema)
+    ]
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["content"]:
+                try:
+                    msgs = (split_delimited(bytes(raw)) if delimited
+                            else [bytes(raw)])
+                    for m in msgs:
+                        d = decode_message(m, wire_schema)
+                        d["error"] = None
+                        rows.append(d)
+                except Exception as e:  # corrupt frame → error row
+                    rows.append({**{n: None for n in names},
+                                 "error": f"{type(e).__name__}: {e}"})
+            yield pd.DataFrame(rows, columns=names + ["error"])
+
+    reader = spark.readStream if streaming else spark.read
+    binf = reader.format("binaryFile")
+    if streaming:
+        binf = binf.schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+    files = binf.load(path)
+    return files.select("content").mapInPandas(_decode, schema=ddl)

@@ -131,6 +131,21 @@ def resolve_input(
             from .collectd_codec import read_collectd
 
             return read_collectd(spark, path, streaming)
+        if fmt == "protobuf":
+            from .protobuf_codec import read_protobuf
+
+            if "wire_schema" not in args:
+                raise SourceError(
+                    "protobuf codec requires wire_schema => "
+                    "{field_number: (name, type)} (pure-Python wire "
+                    "decode); class_name mode additionally needs the "
+                    "google.protobuf package"
+                )
+            return read_protobuf(
+                spark, path, args["wire_schema"],
+                delimited=bool(args.get("delimited", False)),
+                streaming=streaming,
+            )
         if streaming and "schema" not in args:
             raise SourceError(f"streaming {fmt} input requires schema => '<ddl>'")
         if "schema" in args:

