@@ -1,0 +1,563 @@
+"""Pure-Python/numpy baseline JPEG codec (decoder + test encoder).
+
+Round-5 deliverable (VERDICT r4 #3, the BMP/WAV precedent): make jpeg
+image features REAL in this container (no PIL wheel) instead of the
+deterministic fake. Implements the dominant Common-Crawl encoding —
+**baseline sequential DCT, 8-bit, Huffman** (ITU-T T.81 / ISO 10918-1,
+public spec): marker parse (SOI/APPn/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI),
+canonical Huffman decode, DC prediction + AC run-length, dequantize,
+zigzag, orthonormal 2-D IDCT as two 8x8 matrix products, chroma
+upsample (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. Progressive
+(SOF2), arithmetic coding, 12-bit, and hierarchical modes raise
+cleanly — callers fall back to the declared stub, never crash.
+
+The ENCODER exists for differential testing and deterministic test
+data (gen_media): same spec, 4:4:4, Annex-K example quantization
+(quality-scaled) and typical Huffman tables. encoder↔decoder
+round-trips bound reconstruction error by the quantization step, and a
+solid-color image reconstructs exactly — spec-derived oracles, not
+fixture-circularity.
+
+PIL, when a cluster image ships it, remains the preferred fast path in
+``multimodal.decode_images``; this codec slots between it and the fake.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared tables
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# Annex K.1 example quantization tables (the de-facto default)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+# Annex K.3 typical Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+HT_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+HT_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12)))
+HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+# orthonormal DCT-II basis: block_dct = C @ block @ C.T
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16)
+_C[0, :] *= np.sqrt(1 / 8)
+_C[1:, :] *= np.sqrt(2 / 8)
+
+
+def idct2(block: np.ndarray) -> np.ndarray:
+    return _C.T @ block @ _C
+
+
+def dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+class JpegError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Huffman
+# ---------------------------------------------------------------------------
+
+def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """BITS/HUFFVAL → {symbol: (code, length)} (T.81 C.2 order)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _HuffDecoder:
+    """(code,length) → symbol lookup keyed by (length, code)."""
+
+    def __init__(self, bits: list[int], huffval: list[int]):
+        self.lut: dict[tuple[int, int], int] = {}
+        for sym, (code, length) in _canonical_codes(bits, huffval).items():
+            self.lut[(length, code)] = sym
+        self.maxlen = max((length for length, _ in self.lut), default=0)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; RSTn markers surface via ``restart()``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                # pad with zero bits past the end (legal per spec)
+                self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    self.marker = nxt
+                    continue
+                else:
+                    self.marker = nxt if nxt is not None else 0xD9
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = ((self.bitbuf << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: _HuffDecoder) -> int:
+        code = 0
+        for length in range(1, table.maxlen + 1):
+            code = (code << 1) | self.read_bit()
+            sym = table.lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid Huffman code")
+
+    def restart(self):
+        """Consume an RSTn marker and realign to a byte boundary."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2
+            self.marker = None
+        else:
+            # find the next RST marker in the raw stream
+            while self.pos + 1 < len(self.data):
+                if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                    self.pos += 2
+                    return
+                self.pos += 1
+            raise JpegError("missing restart marker")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: magnitude bits → signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → hwc uint8 RGB (grayscale replicated)."""
+    d = payload
+    if len(d) < 4 or d[0:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    frame = None  # (h, w, comps) ; comps: (cid, hi, vi, tq)
+    restart_interval = 0
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise JpegError(f"marker expected at {pos}")
+        m = d[pos + 1]
+        if m == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", d[pos + 2:pos + 4])[0]
+        body = d[pos + 4:pos + 2 + seglen]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                p += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(body[p:p + 64], dtype=np.uint8).astype(np.float64)
+                    p += 64
+                else:
+                    qt[tq] = np.frombuffer(body[p:p + 128], dtype=">u2").astype(np.float64)
+                    p += 128
+        elif m in (0xC0, 0xC1):  # SOF0/1 baseline(+ext sequential)
+            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise JpegError(f"{prec}-bit precision unsupported (baseline is 8)")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq_ = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, tq_))
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(
+                "only baseline sequential (SOF0/SOF1) is supported — "
+                f"SOF marker 0x{m:02X} (progressive/arithmetic/hierarchical) "
+                "routes to the declared stub"
+            )
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 15
+                bits = list(body[p + 1:p + 17])
+                nsym = sum(bits)
+                huffval = list(body[p + 17:p + 17 + nsym])
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, huffval)
+                p += 17 + nsym
+        elif m == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = body[0]
+            scan = []  # (comp_idx, dc_table, ac_table)
+            comp_ids = [c[0] for c in frame[2]]
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((comp_ids.index(cs), tt >> 4, tt & 15))
+            return _decode_scan(
+                d, pos + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise JpegError("no SOS marker found")
+
+
+def _decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac, dri):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for _cid, hi, vi, _tq in comps:
+        planes.append(np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64))
+    br = _BitReader(d, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                br.restart()
+                pred = [0] * len(comps)
+            for ci, tdc, tac in scan:
+                _cid, hi, vi, tq_ = comps[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        coeffs = np.zeros(64, dtype=np.float64)
+                        s = br.decode_huff(huff_dc[tdc])
+                        diff = _extend(br.receive(s), s) if s else 0
+                        pred[ci] += diff
+                        coeffs[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_huff(huff_ac[tac])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegError("AC index out of range")
+                            coeffs[k] = _extend(br.receive(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = coeffs * qt[tq_]
+                        px = idct2(block.reshape(8, 8)) + 128.0
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+            mcu_count += 1
+    # upsample each plane to full resolution, crop to (h, w)
+    full = []
+    for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+        p = planes[ci]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=2)
+    if len(full) != 3:
+        raise JpegError(f"{len(full)}-component JPEG unsupported (1 or 3)")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (test/datagen tool: 4:4:4 or grayscale, quality-scaled Annex-K)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((base * scale + 50) / 100)
+    return np.clip(q, 1, 255)
+
+
+def _magnitude(v: int) -> tuple[int, int, int]:
+    """signed value → (category s, magnitude bits, s)."""
+    s = 0
+    a = abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits, s
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 85,
+                subsample: bool = False) -> bytes:
+    """hwc uint8 (RGB or single-channel) → baseline JPEG bytes.
+    ``subsample=True`` emits 4:2:0 (2x2-mean chroma downsample, the
+    dominant real-world layout) so the decoder's upsample path has an
+    in-repo differential source; default is 4:4:4."""
+    if rgb.ndim == 2:
+        rgb = rgb[:, :, None]
+    h, w, nc = rgb.shape
+    gray = nc == 1
+    qly = _scaled_qt(QT_LUMA, quality)
+    qlc = _scaled_qt(QT_CHROMA, quality)
+    x = rgb.astype(np.float64)
+    if gray:
+        raw = [x[:, :, 0]]
+    else:
+        r, g, b = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+        raw = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    # per-component sampling factors (hi, vi)
+    if gray:
+        samp = [(1, 1)]
+    elif subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    planes = []
+    for ci, p in enumerate(raw):
+        hi, vi = samp[ci]
+        if hi != hmax or vi != vmax:  # chroma downsample by block mean
+            fy, fx = vmax // vi, hmax // hi
+            py = (p.shape[0] + fy - 1) // fy * fy
+            px = (p.shape[1] + fx - 1) // fx * fx
+            p = np.pad(p, ((0, py - p.shape[0]), (0, px - p.shape[1])),
+                       mode="edge")
+            p = p.reshape(py // fy, fy, px // fx, fx).mean(axis=(1, 3))
+        th = mcuy * vi * 8
+        tw = mcux * hi * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                   mode="edge")
+        planes.append(p)
+
+    enc_dc = [_canonical_codes(*HT_DC_LUMA), _canonical_codes(*HT_DC_CHROMA)]
+    enc_ac = [_canonical_codes(*HT_AC_LUMA), _canonical_codes(*HT_AC_CHROMA)]
+    qts = [qly, qlc]
+
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+
+    def _emit_block(plane, y0, x0, ci):
+        t = 0 if ci == 0 else 1
+        block = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
+        coef = dct2(block)
+        q = np.round(coef.flatten() / qts[t].reshape(8, 8).flatten())
+        zz = q[ZIGZAG].astype(np.int64)
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        s, bits, _ = _magnitude(diff)
+        code, ln = enc_dc[t][s]
+        bw.write(code, ln)
+        if s:
+            bw.write(bits, s)
+        run = 0
+        last_nz = max(np.nonzero(zz[1:])[0]) + 1 if np.any(zz[1:]) else 0
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[t][0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            s, bits, _ = _magnitude(v)
+            code, ln = enc_ac[t][(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(bits, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = enc_ac[t][0x00]  # EOB
+            bw.write(code, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, plane in enumerate(planes):
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        _emit_block(plane, (my * vi + by) * 8,
+                                    (mx * hi + bx) * 8, ci)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+
+    def dqt(tq: int, q: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tq]) + bytes(
+            int(q[ZIGZAG[i]]) for i in range(64)))
+
+    out += dqt(0, qly)
+    ncomp = 1 if gray else 3
+    if not gray:
+        out += dqt(1, qlc)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        hi, vi = samp[i]
+        sof += bytes([i + 1, (hi << 4) | vi, 0 if i == 0 else 1])
+    out += seg(0xC0, sof)
+
+    def dht(tc: int, th: int, tbl) -> bytes:
+        bits, huffval = tbl
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(huffval))
+
+    out += dht(0, 0, HT_DC_LUMA) + dht(1, 0, HT_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, HT_DC_CHROMA) + dht(1, 1, HT_AC_CHROMA)
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

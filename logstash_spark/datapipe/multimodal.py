@@ -12,12 +12,18 @@ Decoder honesty policy:
   16-bit PCM audio yields true sample-rate/duration/RMS/peak features.
   The synthetic media table generates real BMP/WAV payloads so these
   paths are exercised end-to-end in Spark tests.
-* **Compressed codecs (jpeg/png/…) decode via PIL when the cluster
-  image ships it** (`_pil_decode`, try-import gated); without the
-  library (this container) the operator uses a clearly-marked
-  deterministic fake — the Spark-side plumbing (schema, partitioning,
-  UDF signature, Arrow batch shape) is real and tested either way.
-  mp4 stays an opaque payload (frame sampling is payload-slice shaped).
+* **Baseline JPEG decodes for real too** (round 5, ``jpeg_codec.py``):
+  a pure-numpy T.81 baseline-sequential decoder (Huffman + IDCT +
+  4:2:0/4:2:2 upsample + JFIF YCbCr) — the dominant Common-Crawl
+  encoding needs no media library. Progressive/arithmetic modes raise
+  ``JpegError`` and fall through to PIL.
+* **Other compressed codecs (png/progressive jpeg/…) decode via PIL
+  when the cluster image ships it** (`_pil_decode`, try-import gated);
+  without the library (this container) the operator uses a
+  clearly-marked deterministic fake — the Spark-side plumbing (schema,
+  partitioning, UDF signature, Arrow batch shape) is real and tested
+  either way. mp4 stays an opaque payload (frame sampling is
+  payload-slice shaped).
 
 Media-table schema::
 
@@ -214,11 +220,26 @@ def gen_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
                 rng = np.random.default_rng(seed + int(i))
                 kind = kinds[int(i) % 3]
                 if kind == "image":
-                    # real uncompressed BMP (decoded for real downstream)
                     w = int(rng.integers(8, 33))
                     h = int(rng.integers(8, 33))
                     pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-                    payload, mime = encode_bmp(pixels), "image/bmp"
+                    if (int(i) // 3) % 2 == 1:
+                        # real baseline JPEG (round 5, jpeg_codec.py):
+                        # solid color so the expected decode is
+                        # spec-derivable independently (DC-only path);
+                        # every 4th image row is 4:2:0-subsampled
+                        from .jpeg_codec import encode_jpeg
+
+                        color = pixels[0, 0, :]
+                        quality = int(rng.integers(75, 96))
+                        solid = np.full((h, w, 3), color, dtype=np.uint8)
+                        payload = encode_jpeg(
+                            solid, quality,
+                            subsample=(int(i) // 3) % 4 == 3)
+                        mime = "image/jpeg"
+                    else:
+                        # real uncompressed BMP (random pixel tensor)
+                        payload, mime = encode_bmp(pixels), "image/bmp"
                 elif kind == "audio":
                     # real 16-bit PCM WAV: a seeded sine + noise
                     n = int(rng.integers(400, 1600))
@@ -256,6 +277,25 @@ def decode_images(df: DataFrame) -> DataFrame:
                     checksum = int(rgb.astype(np.int64).sum())
                     decoder = "bmp-pure"
                 except (ValueError, struct.error):
+                    rgb = None
+                    if payload[:2] == b"\xff\xd8":
+                        # real path 2 (round 5): pure-numpy baseline
+                        # sequential JPEG (jpeg_codec.py); progressive/
+                        # arithmetic raise JpegError → PIL/stub below
+                        try:
+                            from .jpeg_codec import decode_jpeg
+
+                            rgb = decode_jpeg(payload)
+                            h, w, c = rgb.shape
+                            emb = image_grid_embedding(rgb)
+                            checksum = int(rgb.astype(np.int64).sum())
+                            decoder = "jpeg-pure"
+                        except Exception:
+                            rgb = None
+                    if rgb is not None:
+                        out.append((doc_id, kind, w, h, c, emb.tolist(),
+                                    checksum, decoder))
+                        continue
                     rgb = _pil_decode(payload) if _HAVE_PIL else None
                     if rgb is not None:
                         # real compressed-codec path (jpeg/png/…) when the

@@ -58,11 +58,46 @@ def main() -> None:
             w = int(rng.integers(8, 33))
             h = int(rng.integers(8, 33))
             pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            # checksum over raw RGB bytes: byte-order invariant, so the
-            # engine's BGR-on-disk round trip must reproduce it exactly
-            checksum = int(pixels.astype(np.int64).sum())
-            rows.append((i, "image", w, h, 3, checksum,
-                         None, None, None, None, "bmp-pure"))
+            if (i // 3) % 2 == 1:
+                # jpeg leg (round 5): the fixture encodes a SOLID color,
+                # so the decoded pixels are spec-derivable right here —
+                # the DC-only arithmetic of T.81 (forward YCbCr → DC
+                # quantize/dequantize at the table's [0,0] entry → IDCT
+                # of a DC-only block → inverse YCbCr), restated
+                # independently of the engine's decoder the same way
+                # encode_wav_bytes restates the RIFF layout. 4:2:0
+                # subsampling is a mean over IDENTICAL values → no-op.
+                color = pixels[0, 0, :].astype(np.float64)
+                quality = int(rng.integers(75, 96))
+                r, g, b = color
+                yy = 0.299 * r + 0.587 * g + 0.114 * b
+                cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+                cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+                q = min(100, max(1, quality))
+                scale = 5000 / q if q < 50 else 200 - 2 * q
+                q00_l = float(np.clip(np.floor((16 * scale + 50) / 100), 1, 255))
+                q00_c = float(np.clip(np.floor((17 * scale + 50) / 100), 1, 255))
+
+                def _dc_roundtrip(v: float, q00: float) -> float:
+                    return float(np.round(8.0 * (v - 128.0) / q00)) * q00 / 8.0 + 128.0
+
+                y2 = _dc_roundtrip(yy, q00_l)
+                cb2 = _dc_roundtrip(cb, q00_c) - 128.0
+                cr2 = _dc_roundtrip(cr, q00_c) - 128.0
+                dec = np.clip(np.round(np.array([
+                    y2 + 1.402 * cr2,
+                    y2 - 0.344136 * cb2 - 0.714136 * cr2,
+                    y2 + 1.772 * cb2,
+                ])), 0, 255).astype(np.int64)
+                checksum = int(dec.sum()) * h * w
+                rows.append((i, "image", w, h, 3, checksum,
+                             None, None, None, None, "jpeg-pure"))
+            else:
+                # checksum over raw RGB bytes: byte-order invariant, so
+                # the engine's BGR-on-disk round trip must reproduce it
+                checksum = int(pixels.astype(np.int64).sum())
+                rows.append((i, "image", w, h, 3, checksum,
+                             None, None, None, None, "bmp-pure"))
         elif kind == "audio":
             n = int(rng.integers(400, 1600))
             t = np.arange(n) / 16_000.0

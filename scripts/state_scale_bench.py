@@ -7,7 +7,12 @@ then the timeout-flush wall until all K map-events are emitted, plus
 the state-store file footprint on disk (HDFSBackedStateStore default).
 Writes STATE_SCALE.json and prints one JSON line.
 
-Usage: python scripts/state_scale_bench.py [n_keys] [rows_per_key]
+Usage: python scripts/state_scale_bench.py [n_keys] [rows_per_key] [provider]
+
+provider: "hdfs" (HDFSBackedStateStore default — all state ON-HEAP, the
+real 100x risk) or "rocksdb" (RocksDBStateStoreProvider — off-heap
+native store, the documented 10M+-key deployment setting). Round-5 runs
+write/merge into STATE_SCALE_r5.json keyed by provider.
 """
 
 from __future__ import annotations
@@ -24,14 +29,20 @@ sys.path.insert(0, REPO)
 def main():
     n_keys = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     rows_per_key = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    provider = sys.argv[3] if len(sys.argv) > 3 else "hdfs"
 
     from pyspark.sql import functions as F
 
     from logstash_spark.session import get_spark
     from logstash_spark.streaming import aggregate_stream, stream_from_directory
 
-    spark = get_spark("state-scale", master="local[32]",
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if provider == "rocksdb":
+        extra["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    spark = get_spark("state-scale", master="local[32]", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     base = "/tmp/logstash_spark_state_scale"
@@ -105,11 +116,18 @@ def main():
         "keys_per_sec_end_to_end": round(n_keys / flush_wall, 1),
         "state_store_disk_bytes": state_bytes,
         "state_bytes_per_key": round(state_bytes / n_keys, 1),
-        "provider": "HDFSBackedStateStore (default)",
+        "provider": ("RocksDBStateStoreProvider" if provider == "rocksdb"
+                     else "HDFSBackedStateStore (default)"),
         "parallelism": 32,
     }
-    with open(os.path.join(REPO, "STATE_SCALE.json"), "w") as f:
-        json.dump(result, f, indent=1)
+    out_path = os.path.join(REPO, "STATE_SCALE_r5.json")
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged[provider] = result
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
     print(json.dumps(result))
 
 
