@@ -131,6 +131,14 @@ def resolve_input(
             from .collectd_codec import read_collectd
 
             return read_collectd(spark, path, streaming)
+        if fmt == "msgpack":
+            from .msgpack_codec import read_msgpack
+
+            return read_msgpack(spark, path, streaming)
+        if fmt == "fluent":
+            from .msgpack_codec import read_fluent
+
+            return read_fluent(spark, path, streaming)
         if fmt == "protobuf":
             from .protobuf_codec import read_protobuf
 

@@ -196,12 +196,16 @@ def main():
         "criterion_efficiency_median": crit,
         "criterion_efficiency_best": crit_best,
         "clean_run_all_levels_within_2x": clean,
-        "meets_target": (crit is not None and crit >= 0.8),
+        # None (not false) when the run has no 4x pair — e.g. the
+        # single-level 1M+ rehearsal, which measures absolute throughput,
+        # not the scaling criterion
+        "meets_target": (crit >= 0.8) if crit is not None else None,
         "per_sink_counts_equal_across_levels": all(
             results[c]["sinks"] == results[LEVELS[0]]["sinks"] for c in LEVELS
         ),
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    out_name = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALING.json")
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
