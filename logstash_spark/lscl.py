@@ -250,6 +250,11 @@ def to_pipeline_spec(text: str, pipeline_id: str = "main") -> dict:
             out["format"] = "csv"
         if "codec" in args and args["codec"] in ("json_lines", "json"):
             out["format"] = "json"
+        if name == "stdout" and args.get("codec") in ("rubydebug", "dots"):
+            # stdout's debug codecs print driver-side (router
+            # _write_debug_stdout); without a codec the stdout sink
+            # stays a parquet capture under run_dir (batch-engine shape)
+            out["format"] = args["codec"]
         if "table" in args:
             # catalog-table sink (router._write_catalog_table); the
             # `iceberg` output plugin defaults its provider accordingly

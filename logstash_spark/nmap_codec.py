@@ -1,0 +1,141 @@
+"""Nmap XML codec.
+
+Reference counterpart: logstash-codec-nmap
+(lib/logstash/codecs/nmap.rb) — decodes an nmap XML report into a
+STREAM of typed events: one ``nmap_scan_metadata`` per report, one
+``nmap_host`` per up host, one ``nmap_port`` per (host, port), one
+``nmap_traceroute_link`` per consecutive hop pair, each toggled by
+``emit_scan_metadata`` / ``emit_hosts`` / ``emit_ports`` /
+``emit_traceroute_links`` (all default true).
+
+Spark re-expression: the upstream codec wraps a Ruby XML-parser gem;
+here the report is parsed with the stdlib ``xml.etree`` inside
+``mapInPandas`` over a ``binaryFile`` scan — one report per file, the
+whole-file decode shape every whole-document codec in this engine uses
+(avro/es_bulk/msgpack precedent). The event stream is FLAT AND TYPED
+(one relational schema, nullable per event type) rather than the
+reference's nested Ruby hashes — the engine's columns-first stance;
+every reference field that feeds its example Kibana dashboards is
+present. Unparseable reports yield an error row tagged
+``_nmapparsefailure``, never a task abort.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+
+NMAP_SCHEMA = (
+    "event_type string, scanner string, nmap_version string, args string, "
+    "scan_start_ts long, scan_end_ts long, scan_host_count int, "
+    "addr string, addr_type string, hostname string, host_status string, "
+    "status_reason string, "
+    "port int, protocol string, port_state string, service string, "
+    "hop_from string, hop_to string, hop_ttl int, hop_rtt double, "
+    "tags array<string>"
+)
+_COLS = [f.split()[0] for f in NMAP_SCHEMA.split(", ")]
+FAILURE_TAG = "_nmapparsefailure"
+
+
+def _row(**kw) -> tuple:
+    return tuple(kw.get(c) for c in _COLS)
+
+
+def _int(v):
+    try:
+        return int(v) if v is not None else None
+    except ValueError:
+        return None
+
+
+def _float(v):
+    try:
+        return float(v) if v is not None else None
+    except ValueError:
+        return None
+
+
+def parse_report(xml_bytes: bytes, *, emit_scan_metadata: bool = True,
+                 emit_hosts: bool = True, emit_ports: bool = True,
+                 emit_traceroute_links: bool = True) -> list[tuple]:
+    root = ET.fromstring(xml_bytes)
+    if root.tag != "nmaprun":
+        raise ValueError(f"not an nmap report (root <{root.tag}>)")
+    rows: list[tuple] = []
+    finished = root.find("runstats/finished")
+    meta = dict(
+        scanner=root.get("scanner"), nmap_version=root.get("version"),
+        args=root.get("args"), scan_start_ts=_int(root.get("start")),
+        scan_end_ts=_int(finished.get("time")) if finished is not None else None,
+        scan_host_count=len(root.findall("host")),
+    )
+    if emit_scan_metadata:
+        rows.append(_row(event_type="nmap_scan_metadata", **meta))
+    for host in root.findall("host"):
+        address = host.find("address")
+        addr = address.get("addr") if address is not None else None
+        addr_type = address.get("addrtype") if address is not None else None
+        hn = host.find("hostnames/hostname")
+        hostname = hn.get("name") if hn is not None else None
+        status = host.find("status")
+        host_kw = dict(
+            addr=addr, addr_type=addr_type, hostname=hostname,
+            host_status=status.get("state") if status is not None else None,
+            status_reason=status.get("reason") if status is not None else None,
+        )
+        if emit_hosts:
+            rows.append(_row(event_type="nmap_host", **meta, **host_kw))
+        if emit_ports:
+            for port in host.findall("ports/port"):
+                state = port.find("state")
+                service = port.find("service")
+                rows.append(_row(
+                    event_type="nmap_port", **meta, **host_kw,
+                    port=_int(port.get("portid")),
+                    protocol=port.get("protocol"),
+                    port_state=state.get("state") if state is not None else None,
+                    service=service.get("name") if service is not None else None,
+                ))
+        if emit_traceroute_links:
+            hops = host.findall("trace/hop")
+            # reference pairs consecutive hops into links (from → to);
+            # the first link's origin is the scanner itself (null from)
+            prev_ip = None
+            for hop in hops:
+                ip = hop.get("ipaddr")
+                rows.append(_row(
+                    event_type="nmap_traceroute_link", **meta, **host_kw,
+                    hop_from=prev_ip, hop_to=ip,
+                    hop_ttl=_int(hop.get("ttl")),
+                    hop_rtt=_float(hop.get("rtt")),
+                ))
+                prev_ip = ip
+    return rows
+
+
+def read_nmap(spark, path: str, streaming: bool = False, **emit_opts):
+    """binaryFile → mapInPandas typed nmap event stream (one report per
+    file); parse failures yield one error row per file."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["content"]:
+                try:
+                    rows.extend(parse_report(bytes(raw), **emit_opts))
+                except (ET.ParseError, ValueError) as e:
+                    rows.append(_row(event_type="error",
+                                     tags=[FAILURE_TAG, str(e)[:120]]))
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    reader = spark.readStream if streaming else spark.read
+    binf = reader.format("binaryFile")
+    if streaming:
+        binf = binf.schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+    files = binf.load(path)
+    return files.select("content").mapInPandas(_decode, schema=NMAP_SCHEMA)

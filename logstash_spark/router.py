@@ -203,6 +203,41 @@ def _write_catalog_table(branch: DataFrame, sink: SinkSpec, mode: str) -> None:
         aligned.write.insertInto(sink.table, overwrite=(mode == "overwrite"))
 
 
+def _rubydebug_render(row) -> str:
+    """awesome_print-shaped event rendering (rubydebug codec): keys
+    right-aligned to the longest, ``"key" => value`` lines inside
+    braces. Values render as JSON (the documented Ruby→JSON deviation;
+    structs/arrays/timestamps stringify recursively)."""
+    import json as _json
+
+    d = row.asDict(recursive=True)
+    if not d:
+        return "{}"
+    width = max(len(k) for k in d) + 2  # the quotes
+    lines = [
+        '"{}"'.format(k).rjust(width + 4) + " => "
+        + _json.dumps(v, default=str, ensure_ascii=False)
+        for k, v in d.items()
+    ]
+    return "{\n" + ",\n".join(lines) + "\n}"
+
+
+def _write_debug_stdout(branch: DataFrame, fmt: str) -> int:
+    import sys
+
+    if fmt == "dots":
+        n = branch.count()
+        sys.stdout.write("." * n)
+        sys.stdout.flush()
+        return n
+    n = 0
+    for row in branch.toLocalIterator():
+        sys.stdout.write(_rubydebug_render(row) + "\n")
+        n += 1
+    sys.stdout.flush()
+    return n
+
+
 class Router:
     def __init__(self, sinks: list[dict | SinkSpec]):
         self.sinks = [s if isinstance(s, SinkSpec) else SinkSpec.from_dict(s) for s in sinks]
@@ -255,6 +290,16 @@ class Router:
 
         def write_one(sink: SinkSpec) -> tuple[str, int]:
             branch = self.branch(df, sink)
+            if sink.fmt in ("rubydebug", "dots"):
+                # logstash-codec-rubydebug / logstash-codec-dots — the
+                # stdout output's DEBUG codecs. Printing is inherently a
+                # driver action: dots never moves data (one count job,
+                # one "." per event); rubydebug streams partitions one
+                # at a time via toLocalIterator. Debug tools by
+                # definition, not a data path — at scale route to a real
+                # sink and keep these for pipeline bring-up (the exact
+                # role they play in the reference).
+                return sink.name, _write_debug_stdout(branch, sink.fmt)
             # per-sink count rides the write job via observe() — no second
             # pass, no extra job (Logstash's per-output events counter)
             obs = Observation(f"sink_{sink.name}")

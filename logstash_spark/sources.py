@@ -135,6 +135,14 @@ def resolve_input(
             from .msgpack_codec import read_msgpack
 
             return read_msgpack(spark, path, streaming)
+        if fmt == "edn":
+            from .edn_codec import read_edn
+
+            return read_edn(spark, path, streaming)
+        if fmt == "nmap":
+            from .nmap_codec import read_nmap
+
+            return read_nmap(spark, path, streaming)
         if fmt == "fluent":
             from .msgpack_codec import read_fluent
 

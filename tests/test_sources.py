@@ -427,3 +427,34 @@ def test_write_batch_mode_pin_survives_concurrency(spark, tmp_path):
     finally:
         df.unpersist()
         spark.conf.set(conf_key, prior)
+
+
+def test_stdout_debug_codecs(spark, capsys):
+    """rubydebug / dots stdout codecs: driver-side debug printing
+    (logstash-codec-rubydebug awesome_print shape; one dot per event),
+    counts still reported per sink; LSCL `stdout { codec => … }`
+    lowers to the formats."""
+    from logstash_spark.lscl import to_pipeline_spec
+    from logstash_spark.router import Router, SinkSpec
+
+    df = spark.createDataFrame(
+        [("u1", ["a"]), ("u2", None)], "url string, tags array<string>"
+    ).persist()
+    try:
+        router = Router([SinkSpec(name="stdout", fmt="rubydebug"),
+                         SinkSpec(name="dots", fmt="dots")])
+        counts = router.write_batch(df, run_dir="/tmp/unused")
+        assert counts == {"stdout": 2, "dots": 2}
+        out = capsys.readouterr().out
+        assert '"url" => "u1"' in out and '"tags" => ["a"]' in out
+        assert ".." in out
+    finally:
+        df.unpersist()
+
+    spec = to_pipeline_spec(
+        'input { file { path => "/x" } } '
+        "output { stdout { codec => rubydebug } stdout { codec => dots } "
+        "stdout { } }"
+    )
+    fmts = [o.get("format", "parquet") for o in spec["outputs"]]
+    assert fmts == ["rubydebug", "dots", "parquet"]

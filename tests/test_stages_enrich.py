@@ -538,3 +538,73 @@ def test_memcached_get_snapshot(spark):
         apply_stage(df, {"memcached": {**conf, "set": {"role": "k"}}})
     with pytest.raises(ValueError, match="snapshot is required"):
         apply_stage(df, {"memcached": {"get": {"k": "v"}}})
+
+
+# --------------------------------------------------------------------------
+# http filter (logstash-filter-http) — pluggable-transport promotion
+# --------------------------------------------------------------------------
+
+def _make_fake_transport():
+    # a CLOSURE, not a module-level function: cloudpickle ships closures
+    # by value to the workers (the tests package itself is not shipped)
+    table = {
+        "http://api/users/1": (200, {"X-Srv": "a"}, '{"name":"ada"}'),
+        "http://api/users/2": (200, {"X-Srv": "b"}, '{"name":"bob"}'),
+        "http://api/users/500": (500, {}, "boom"),
+    }
+
+    def transport(url):
+        if url not in table:
+            raise OSError("connection refused")
+        return table[url]
+
+    return transport
+
+
+def test_http_filter_transport_fetch(spark):
+    df = spark.createDataFrame(
+        [(1, "1"), (2, "2"), (3, "1"), (4, "500"), (5, "missing")],
+        "id int, uid string",
+    )
+    out = apply_stage(
+        df,
+        {"http": {"url": "http://api/users/%{uid}",
+                  "transport": _make_fake_transport(),
+                  "target_body": "body", "target_headers": "resp_headers"}},
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].body == '{"name":"ada"}' and rows[3].body == '{"name":"ada"}'
+    assert rows[1].resp_headers == {"X-Srv": "a"}
+    # non-2xx and transport errors both tag and leave targets null
+    for bad in (4, 5):
+        assert rows[bad].body is None
+        assert "_httprequestfailure" in rows[bad].tags
+    assert not rows[1].tags
+
+
+def test_http_filter_snapshot_and_guards(spark):
+    df = spark.createDataFrame([(1, "a")], "id int, k string")
+    out = apply_stage(
+        df, {"http": {"url": "http://x/%{k}",
+                      "responses": {"http://x/a": "payload"}}})
+    assert out.collect()[0].body == "payload"
+    with pytest.raises(ValueError, match="non-idempotent"):
+        apply_stage(df, {"http": {"url": "http://x", "verb": "POST",
+                                  "responses": {}}}).collect()
+    with pytest.raises(ValueError, match="no network"):
+        apply_stage(df, {"http": {"url": "http://x"}}).collect()
+    with pytest.raises(ValueError, match="distinct URLs"):
+        apply_stage(df, {"http": {"url": "http://x/%{id}",
+                                  "transport": _make_fake_transport(),
+                                  "max_distinct_urls": 0}}).collect()
+
+
+def test_http_filter_broadcast_plan(spark):
+    df = spark.createDataFrame([(i, str(i % 2 + 1)) for i in range(100)],
+                               "id int, uid string")
+    out = apply_stage(
+        df, {"http": {"url": "http://api/users/%{uid}",
+                      "transport": _make_fake_transport()}})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # fact side never shuffles
+    assert out.where(F.col("body").isNotNull()).count() == 100

@@ -187,3 +187,35 @@ def test_drop_percentage_with_condition(spark):
                       "deterministic_on": "id"}}
     ).collect()
     assert sorted(r.id for r in again) == sorted(r.id for r in out)
+
+
+# --------------------------------------------------------------------------
+# sleep filter (logstash-filter-sleep) — replay pacing
+# --------------------------------------------------------------------------
+
+def test_sleep_paces_and_passes_through(spark):
+    import time as _t
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "id int").coalesce(1)
+    out = apply_stage(df, {"sleep": {"time": 0.05, "every": 1}})
+    t0 = _t.monotonic()
+    rows = sorted(r.id for r in out.collect())
+    wall = _t.monotonic() - t0
+    assert rows == list(range(20))           # pure pass-through
+    assert wall >= 20 * 0.05                 # total sleep = time * rows / every
+
+
+def test_sleep_every_and_field_time(spark):
+    import time as _t
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.2), (3, None)], "id int, wait double").coalesce(1)
+    out = apply_stage(df, {"sleep": {"time": "%{wait}", "every": 2}})
+    t0 = _t.monotonic()
+    assert out.count() == 3
+    assert _t.monotonic() - t0 >= 0.2        # (0.2+0.2+0)/2
+    # enforce=false → audited no-op, no python hop in the plan
+    noop = apply_stage(df, {"sleep": {"time": 5, "enforce": False}})
+    assert "mapInPandas" not in noop._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(ValueError, match="not in schema"):
+        apply_stage(df, {"sleep": {"time": "%{nope}"}})
