@@ -1176,10 +1176,12 @@ class HttpStage(Stage):
                   "__http_body string, __http_headers map<string,string>")
 
     def _targets(self, df: DataFrame) -> list[str] | None:
-        out = [field_name(self.conf.get("target_body", "body")), "tags"]
-        if self.conf.get("target_headers"):
-            out.append(field_name(self.conf["target_headers"]))
-        return out
+        # None → conditional filter/union fallback: a single-subtree
+        # merge would put NON-matching rows' URLs into the distinct
+        # fetch set — requests to an external endpoint for events the
+        # config excluded (a side effect, unlike the pure lookups that
+        # opt into the merge)
+        return None
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
         from ..fieldref import sprintf_col

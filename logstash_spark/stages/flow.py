@@ -301,7 +301,10 @@ class SleepStage(Stage):
     """
 
     def _targets(self, df: DataFrame) -> list[str] | None:
-        return []
+        # None → the conditional compiler's filter/union fallback: under
+        # `if [x] { sleep {} }` only the MATCHING rows may pay the pacing
+        # (a single-subtree merge would sleep for every row)
+        return None
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
         conf_time = self.conf.get("time", 0)

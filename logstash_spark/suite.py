@@ -1768,6 +1768,20 @@ def jdbc_static_enrich(spark, sf_dir):
     return out.select("event_id", "category")
 
 
+def _http_ti_transport(url: str):
+    """Deterministic threat-intel fake for the battery's http leg —
+    module-level in the shipped package so executors import it by
+    reference. Partitions the event-type domain across the filter's
+    three outcome paths: 2xx hit (click/view/purchase), non-2xx
+    (signup → 404), transport error (everything else raises)."""
+    etype = url.rsplit("/", 1)[-1]
+    if etype in ("click", "view", "purchase"):
+        return 200, {}, "ti:" + etype.upper()
+    if etype == "signup":
+        return 404, {}, "unknown indicator"
+    raise OSError(f"ti service refused {etype}")
+
+
 @_q(
     "cef_dns_jdbc_battery",
     """
@@ -1783,22 +1797,28 @@ def jdbc_static_enrich(spark, sf_dir):
              ELSE '10.0.0.' || CAST(user_id % 8 AS VARCHAR) END AS resolved_host,
            CASE event_type
              WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
-             WHEN 'purchase' THEN 'revenue' ELSE 'other' END AS category
+             WHEN 'purchase' THEN 'revenue' ELSE 'other' END AS category,
+           CASE WHEN event_type IN ('click', 'view', 'purchase')
+                THEN 'ti:' || UPPER(event_type) END AS http_intel
     FROM events
     """,
 )
 def cef_dns_jdbc_battery(spark, sf_dir):
     """CEF codec decode → dns reverse-lookup enrich → jdbc_streaming
-    parameterized lookup, chained over one synthesized security-event
-    feed: logstash-codec-cef (native split + regexp_extract_all
-    extension map, escaped ``\\=`` exercised in msg), logstash-filter-dns
-    (broadcast snapshot, reverse+replace: unresolvable addresses stay
-    in place per dns.rb) and jdbc_streaming (per-DISTINCT-parameter
-    execution over a real Derby connection ≙ the LRU hit cache,
-    default_hash on miss). The oracle reconstructs every output
-    directly from the events table — the CEF line is deterministic in
-    (event_id, user_id, event_type), so a correct parse is exactly the
-    identity recovery."""
+    parameterized lookup → http filter, chained over one synthesized
+    security-event feed: logstash-codec-cef (native split +
+    regexp_extract_all extension map, escaped ``\\=`` exercised in msg),
+    logstash-filter-dns (broadcast snapshot, reverse+replace:
+    unresolvable addresses stay in place per dns.rb), jdbc_streaming
+    (per-DISTINCT-parameter execution over a real Derby connection ≙
+    the LRU hit cache, default_hash on miss), and logstash-filter-http
+    (round 5: distinct-URL dedup → DISTRIBUTED mapInPandas fetch
+    through an injected transport → broadcast join back; 2xx / non-2xx
+    / transport-error legs all land in the oracle via the event-type
+    partition of ``_http_ti_transport``). The oracle reconstructs every
+    output directly from the events table — the CEF line is
+    deterministic in (event_id, user_id, event_type), so a correct
+    parse is exactly the identity recovery."""
     ev = _events_msg(
         spark, sf_dir,
         F.concat(
@@ -1842,6 +1862,12 @@ def cef_dns_jdbc_battery(spark, sf_dir):
             "default_hash": {"category": "other"},
         }},
     )
+    out = apply_stage(
+        out,
+        {"http": {"url": "http://ti.internal/v1/%{[cef][device_event_class_id]}",
+                  "transport": _http_ti_transport,
+                  "target_body": "http_intel"}},
+    )
     return out.select(
         "event_id",
         F.col("cef.device_vendor").alias("vendor"),
@@ -1851,6 +1877,7 @@ def cef_dns_jdbc_battery(spark, sf_dir):
         F.col("cef.extensions").getItem("msg").alias("msg_kv"),
         F.col("src_ip").alias("resolved_host"),
         F.element_at(F.col("cat_rows"), 1)["category"].alias("category"),
+        F.col("http_intel"),
     )
 
 
