@@ -98,7 +98,11 @@ def _read_string(s: str, pos: int) -> tuple[str, int]:
             if e == "u":
                 if pos + 4 >= n:
                     raise EdnError("truncated \\u escape")
-                out.append(chr(int(s[pos + 1:pos + 5], 16)))
+                try:
+                    out.append(chr(int(s[pos + 1:pos + 5], 16)))
+                except ValueError as err:
+                    raise EdnError(
+                        f"bad \\u escape {s[pos + 1:pos + 5]!r}") from err
                 pos += 5
                 continue
             out.append(_STR_ESC.get(e, e))
@@ -122,7 +126,10 @@ def _read_char(s: str, pos: int) -> tuple[str, int]:
     if tok in _NAMED_CHARS:
         return _NAMED_CHARS[tok], pos
     if tok.startswith("u") and len(tok) == 5:
-        return chr(int(tok[1:], 16)), pos
+        try:
+            return chr(int(tok[1:], 16)), pos
+        except ValueError:
+            pass
     raise EdnError(f"bad character literal \\{tok}")
 
 
@@ -148,6 +155,9 @@ def _key(k) -> str:
 
 def read_form(s: str, pos: int):
     """One EDN form at ``pos`` (ws already skipped) → (value, new_pos)."""
+    if pos >= len(s):
+        # a trailing `#_` / `#tag` leaves us expecting one more form
+        raise EdnError("unexpected EOF (form expected)")
     c = s[pos]
     if c == '"':
         return _read_string(s, pos + 1)
@@ -221,7 +231,11 @@ def read_edn(spark, path: str, streaming: bool = False):
                 try:
                     for obj in read_stream(text):
                         rows.append((json.dumps(obj, sort_keys=True), None))
-                except EdnError as e:
+                except Exception as e:
+                    # EdnError for diagnosed syntax; anything else a
+                    # corrupt payload provokes (RecursionError on deep
+                    # nesting, …) must also become an error row — the
+                    # module contract is "never a task abort"
                     rows.append((text, [FAILURE_TAG, str(e)[:120]]))
             yield pd.DataFrame(rows, columns=["message", "tags"])
 

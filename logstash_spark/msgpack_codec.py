@@ -41,6 +41,17 @@ def _need(data: bytes, pos: int, n: int) -> None:
         raise MsgpackError(f"truncated at {pos} (need {n} bytes)")
 
 
+def _iso(sec: int, ns: int) -> str:
+    try:
+        ts = _dt.datetime.fromtimestamp(sec, tz=_dt.timezone.utc)
+    except (ValueError, OverflowError, OSError) as e:
+        # the 96-bit form carries a full int64 of seconds — out-of-range
+        # values are representable on the wire but not as a datetime
+        raise MsgpackError(f"timestamp out of range ({sec}s)") from e
+    out = ts.strftime("%Y-%m-%dT%H:%M:%S")
+    return out + (f".{ns:09d}".rstrip("0").rstrip(".") or "") + "Z"
+
+
 def _decode_ext(typ: int, body: bytes):
     if typ == -1:  # timestamp ext (spec: 32/64/96-bit forms)
         if len(body) == 4:
@@ -52,9 +63,7 @@ def _decode_ext(typ: int, body: bytes):
             ns, sec = struct.unpack(">Iq", body)
         else:
             raise MsgpackError(f"bad timestamp ext length {len(body)}")
-        ts = _dt.datetime.fromtimestamp(sec, tz=_dt.timezone.utc)
-        out = ts.strftime("%Y-%m-%dT%H:%M:%S")
-        return out + (f".{ns:09d}".rstrip("0").rstrip(".") or "") + "Z"
+        return _iso(sec, ns)
     return {"__ext__": typ, "data": body.hex()}
 
 
@@ -176,7 +185,11 @@ def read_msgpack(spark, path: str, streaming: bool = False):
                 try:
                     for obj in unpack_stream(payload):
                         rows.append((json.dumps(obj, sort_keys=True), None))
-                except (MsgpackError, struct.error) as e:
+                except Exception as e:
+                    # MsgpackError/struct.error for diagnosed shapes;
+                    # a corrupt payload can also surface RecursionError
+                    # (deep nesting) etc. — the contract is an error
+                    # row, never a task abort
                     rows.append((payload.hex(), [FAILURE_TAG, str(e)[:120]]))
             yield pd.DataFrame(rows, columns=["message", "tags"])
 
@@ -198,8 +211,9 @@ def read_msgpack(spark, path: str, streaming: bool = False):
 #   [tag, <msgpack-stream of EventTime/records binary>] is the
 #     PackedForward mode — its entries blob is itself a concatenated
 #     msgpack stream of [time, record] pairs.
-# Times are ints (epoch sec) or the EventTime ext type (decoded to an
-# ISO string by the msgpack layer above). Each entry → one event row:
+# Times are ints (epoch sec) or Fluentd's EventTime ext type 0
+# (decoded to an ISO string by ``_fluent_time``). Each entry → one
+# event row:
 # (tag, fluent_time, message=canonical-JSON record).
 # ---------------------------------------------------------------------------
 
@@ -228,6 +242,20 @@ def _fluent_entries(obj):
     return tag, [tuple(e) for e in entries]
 
 
+def _fluent_time(t) -> str:
+    """Entry time → string: epoch-sec int, pre-decoded timestamp ext
+    (ISO, from the msgpack layer), or Fluentd's EventTime ext type 0
+    (fixext8: 4B sec + 4B ns big-endian — the forward-protocol default
+    when time_as_integer is false)."""
+    if isinstance(t, dict) and t.get("__ext__") == 0:
+        body = bytes.fromhex(t["data"])
+        if len(body) != 8:
+            raise MsgpackError(f"bad EventTime length {len(body)}")
+        sec, ns = struct.unpack(">II", body)
+        return _iso(sec, ns)
+    return str(t)
+
+
 def read_fluent(spark, path: str, streaming: bool = False):
     """binaryFile → mapInPandas fluent-forward decode (one frame per
     file; a concatenated stream of frames also works)."""
@@ -241,9 +269,9 @@ def read_fluent(spark, path: str, streaming: bool = False):
                     for frame in unpack_stream(payload):
                         tag, entries = _fluent_entries(frame)
                         for t, rec in entries:
-                            rows.append((tag, str(t),
+                            rows.append((tag, _fluent_time(t),
                                          json.dumps(rec, sort_keys=True), None))
-                except (MsgpackError, struct.error, TypeError, ValueError) as e:
+                except Exception as e:
                     rows.append((None, None, payload.hex(),
                                  [FLUENT_FAILURE_TAG, str(e)[:120]]))
             yield pd.DataFrame(

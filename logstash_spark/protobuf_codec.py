@@ -75,10 +75,14 @@ def _coerce_varint(raw: int, typ: str) -> int | bool:
         return _zigzag(raw)
     if typ == "bool":
         return bool(raw)
-    if typ == "int32" and raw >= 1 << 63:
-        # negative int32/int64 are encoded as 10-byte two's-complement
-        raw -= 1 << 64
-    elif typ == "int64" and raw >= 1 << 63:
+    if raw >= 1 << 63 and typ in ("int32", "int64", "enum", "uint32",
+                                  "uint64"):
+        # int32/int64/enum: negatives are encoded as 10-byte
+        # two's-complement varints. uint64: Spark has no unsigned 64-bit
+        # type — values >= 2^63 are reinterpreted as signed long (the
+        # same mapping Spark's own protobuf connector uses); without the
+        # wrap the Python int overflows the Arrow int64 column and
+        # aborts the task on perfectly valid data.
         raw -= 1 << 64
     return raw
 
@@ -133,6 +137,12 @@ def decode_message(data: bytes, wire_schema: dict) -> dict:
             raw, pos = read_varint(data, pos)
             if spec:
                 base = typ.split()[-1]
+                if base not in _VARINT_TYPES:
+                    # a silent int in (say) a string column would blow
+                    # up later at the Arrow boundary, outside the
+                    # per-payload error-row try
+                    raise ValueError(
+                        f"field {fnum} declared {typ} but wire type is 0")
                 v = _coerce_varint(raw, base)
                 if typ.startswith("repeated"):
                     out[name].append(v)
@@ -145,12 +155,16 @@ def decode_message(data: bytes, wire_schema: dict) -> dict:
             pos += 8
             if spec:
                 base = typ.split()[-1]
+                if base not in _FIXED64:
+                    raise ValueError(
+                        f"field {fnum} declared {typ} but wire type is 1")
                 if base == "double":
                     v = _struct.unpack("<d", chunk)[0]
-                elif base == "sfixed64":
-                    v = _struct.unpack("<q", chunk)[0]
                 else:
-                    v = _struct.unpack("<Q", chunk)[0]
+                    # sfixed64 is signed; fixed64 (unsigned) is
+                    # reinterpreted as signed long for the Spark column
+                    # (same wrap as uint64 varints)
+                    v = _struct.unpack("<q", chunk)[0]
                 if typ.startswith("repeated"):
                     out[name].append(v)
                 else:
@@ -162,6 +176,9 @@ def decode_message(data: bytes, wire_schema: dict) -> dict:
             pos += 4
             if spec:
                 base = typ.split()[-1]
+                if base not in _FIXED32:
+                    raise ValueError(
+                        f"field {fnum} declared {typ} but wire type is 5")
                 if base == "float":
                     v = float(_struct.unpack("<f", chunk)[0])
                 elif base == "sfixed32":
@@ -201,7 +218,8 @@ def decode_message(data: bytes, wire_schema: dict) -> dict:
                         raw, p = read_varint(chunk, p)
                         out[name].append(_coerce_varint(raw, base))
                     elif base in _FIXED64:
-                        fmt = {"double": "<d", "sfixed64": "<q"}.get(base, "<Q")
+                        # fixed64 → "<q": signed reinterpret (see wt==1)
+                        fmt = "<d" if base == "double" else "<q"
                         out[name].append(_struct.unpack(fmt, chunk[p:p + 8])[0])
                         p += 8
                     else:

@@ -664,7 +664,8 @@ class JdbcStreamingStage(Stage):
         distinct = keys_df.limit(max_distinct + 1).collect()
         if len(distinct) > max_distinct:
             # graceful degradation (round 5): above the guard, switch to
-            # the jdbc_static-shaped plan — ONE partitioned spark.read of
+            # the jdbc_static-shaped plan — ONE spark.read of
+            # (single-connection unless jdbc_read_options partitions it)
             # the statement with its param predicates lifted out, joined
             # back to the batch's keys distributed-side (no driver
             # collect, no per-tuple executions). Only statements whose
@@ -869,9 +870,21 @@ class JdbcStreamingStage(Stage):
             for p in key_cols
         }
 
+        # The rewritten statement is read through the distributed jdbc
+        # source. By DEFAULT that is still ONE connection / ONE task
+        # (Spark's jdbc source does not split a query without explicit
+        # partitioning) — fine up to a few million dim rows, a
+        # bottleneck beyond. `jdbc_read_options` passes Spark's standard
+        # partitioning/fetch options straight through (partitionColumn /
+        # lowerBound / upperBound / numPartitions, fetchsize, …) so the
+        # scan parallelizes when the backing table warrants it; note
+        # partitionColumn must name a column of the REWRITTEN query
+        # (the hoisted keys are exposed as "__pk_0"…).
+        read_opts = dict(self.conf.get("jdbc_read_options", {}))
+        read_opts.setdefault("fetchsize", "10000")
         dim_raw = (
             spark.read.format("jdbc")
-            .options(url=url, driver=driver, query=rewritten)
+            .options(url=url, driver=driver, query=rewritten, **read_opts)
             .load()
         )
         raw_cols = dim_raw.columns
@@ -1195,7 +1208,10 @@ class HttpStage(Stage):
             )
         target_body = field_name(self.conf.get("target_body", "body"))
         target_headers = self.conf.get("target_headers")
-        tag_fail = list(self.conf.get("tag_on_request_failure", [self.TAG]))
+        tf = self.conf.get("tag_on_request_failure", [self.TAG])
+        # LSCL delivers a bare string; list("_fail") would explode it
+        # into per-character tags
+        tag_fail = [tf] if isinstance(tf, str) else list(tf)
         max_urls = int(self.conf.get("max_distinct_urls", 100_000))
         url_col = sprintf_col(self.conf["url"])
 

@@ -41,7 +41,11 @@ def test_edn_keywords_symbols_tags_discard_comments():
 
 
 def test_edn_errors():
-    for bad in ('"unterminated', "{:odd}", "[1 2", "#{1", "\\bogusname"):
+    for bad in ('"unterminated', "{:odd}", "[1 2", "#{1", "\\bogusname",
+                # corrupt shapes that used to escape as bare
+                # IndexError/ValueError (→ task abort instead of the
+                # contractual error row): trailing discard/tag, bad \u
+                "#_", "#inst ", '"a\\uZZZZ"', "\\uZZZZ"):
         with pytest.raises(EdnError):
             read_stream(bad)
 

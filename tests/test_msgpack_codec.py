@@ -149,3 +149,31 @@ def test_fluent_modes(spark, tmp_path):
     assert sorted(r.fluent_time for r in by_tag["pk.tag"]) == ["7", "8"]
     bad = by_tag.get(None, [])
     assert len(bad) == 1 and FLUENT_FAILURE_TAG in bad[0].tags
+
+
+def test_timestamp_out_of_range_is_msgpack_error():
+    """The 96-bit timestamp form carries a full int64 of seconds; values
+    datetime can't represent must raise MsgpackError (→ failure row),
+    not a bare ValueError that escapes the codec's error handling."""
+    body = struct.pack(">Iq", 0, 1 << 62)
+    ext = bytes([0xC7, 12, 0xFF]) + body       # ext8, type -1
+    with pytest.raises(MsgpackError, match="out of range"):
+        unpack_one(ext)
+
+
+def test_fluent_eventtime_ext_decodes_to_iso(spark, tmp_path):
+    """Fluentd's EventTime ext type 0 (fixext8: 4B sec + 4B ns) is the
+    forward-protocol default (time_as_integer false) — it must decode
+    to an ISO string, not the str() of the raw ext dict."""
+    from logstash_spark.msgpack_codec import read_fluent
+
+    rec = fixmap([fixstr("msg") + fixstr("hi")])
+    et = bytes([0xD7, 0x00]) + struct.pack(">II", 1735689600, 500_000_000)
+    frame = bytes([0x93]) + fixstr("app") + et + rec
+    d = tmp_path / "flet"
+    d.mkdir()
+    (d / "m.bin").write_bytes(frame)
+    row = read_fluent(spark, str(d)).collect()[0]
+    assert row.tag == "app"
+    assert row.fluent_time == "2025-01-01T00:00:00.5Z"
+    assert row.tags is None

@@ -174,3 +174,35 @@ def test_class_name_mode_gate():
         pass
     with pytest.raises(ImportError, match="wire_schema mode"):
         decode_with_lib([b""], "x.Y", b"")
+
+
+def test_uint64_fixed64_high_bit_reinterpreted_as_signed_long():
+    """A valid uint64/fixed64 >= 2^63 must land in the Spark long column
+    as its two's-complement reinterpretation (spark-protobuf mapping) —
+    an unbounded Python int would abort the task at the Arrow boundary,
+    outside the per-payload error-row try."""
+    schema = {1: ("h", "uint64"), 2: ("f", "fixed64"),
+              3: ("pf", ("repeated", "fixed64"))}
+    data = (
+        tag(1, 0) + vint(1 << 63)
+        + tag(2, 1) + struct.pack("<Q", (1 << 64) - 2)
+        + ld(3, struct.pack("<Q", 1 << 63))       # packed repeated
+    )
+    d = decode_message(data, schema)
+    assert d["h"] == -(1 << 63)
+    assert d["f"] == -2
+    assert d["pf"] == [-(1 << 63)]
+
+
+def test_wire_type_mismatch_raises_for_error_row():
+    """A varint arriving for a declared string field (etc.) must raise —
+    silently storing an int in a string column poisons the Arrow batch
+    later, killing the task instead of yielding one error row."""
+    with pytest.raises(ValueError, match="wire type is 0"):
+        decode_message(tag(1, 0) + vint(5), {1: ("name", "string")})
+    with pytest.raises(ValueError, match="wire type is 1"):
+        decode_message(tag(1, 1) + struct.pack("<Q", 1),
+                       {1: ("name", "string")})
+    with pytest.raises(ValueError, match="wire type is 5"):
+        decode_message(tag(1, 5) + struct.pack("<I", 1),
+                       {1: ("id", "int64")})

@@ -324,8 +324,10 @@ def test_jdbc_streaming_degrades_to_static_plan_above_guard(spark, tmp_path):
     }
     fast = apply_stage(df, {"jdbc_streaming": {**conf,
                                                "max_distinct_params": 1000}})
-    slow = apply_stage(df, {"jdbc_streaming": {**conf,
-                                               "max_distinct_params": 3}})
+    slow = apply_stage(df, {"jdbc_streaming": {
+        **conf, "max_distinct_params": 3,
+        # exercise the Spark-jdbc option passthrough on the degraded read
+        "jdbc_read_options": {"fetchsize": "7"}}})
     assert fast.schema == slow.schema
     f_rows = {r.id: r for r in fast.collect()}
     s_rows = {r.id: r for r in slow.collect()}
@@ -597,6 +599,17 @@ def test_http_filter_snapshot_and_guards(spark):
         apply_stage(df, {"http": {"url": "http://x/%{id}",
                                   "transport": _make_fake_transport(),
                                   "max_distinct_urls": 0}}).collect()
+
+
+def test_http_filter_string_failure_tag(spark):
+    """LSCL delivers tag_on_request_failure as a bare string — it must
+    become ONE tag, not be exploded into per-character tags."""
+    df = spark.createDataFrame([(1, "missing")], "id int, uid string")
+    out = apply_stage(
+        df, {"http": {"url": "http://api/users/%{uid}",
+                      "transport": _make_fake_transport(),
+                      "tag_on_request_failure": "_ti_fail"}})
+    assert out.collect()[0].tags == ["_ti_fail"]
 
 
 def test_http_filter_broadcast_plan(spark):
