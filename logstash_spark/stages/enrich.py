@@ -1291,3 +1291,153 @@ class HttpStage(Stage):
         df = df.withColumn("__matched", ok).drop(
             "__http_url", "__http_status", "__http_body", "__http_headers")
         return df, F.col("__matched")
+
+
+@register("wurfl_device_detection")
+class WurflStage(Stage):
+    """logstash-filter-wurfl_device_detection — match the event's
+    user-agent against a WURFL-style device hierarchy and write the
+    requested device capabilities into the event.
+
+    Reference semantics (public plugin docs + WURFL data model):
+    devices form a tree — ``(device_id, user_agent, fall_back,
+    capabilities)`` — where a device inherits every capability it does
+    not define from its ``fall_back`` ancestor chain; a UA matches the
+    device with the exact or longest-common-prefix ``user_agent``
+    pattern.
+
+    Spark re-expression (dns/memcached/http snapshot stance): the
+    commercial live WURFL service is rejected by design — the device
+    table comes in as an explicit snapshot (``devices`` inline list or
+    ``devices_df``). All hierarchy work happens ONCE at plan time on
+    the dim (memoized fall_back closure, cycle/dangling detection);
+    matching ships as a broadcast dict and runs vectorized per Arrow
+    batch: one exact/longest-prefix ``Series.map`` pass per DISTINCT
+    pattern length (descending — first hit IS the longest prefix), over
+    only still-unmatched rows. The fact side never shuffles and the
+    output schema is fixed at plan time by the ``capabilities`` list
+    (struct<device_id, cap…> — all strings, the WURFL wire convention).
+    """
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        out = [self.conf.get("target", "wurfl")]
+        if self.conf.get("tag_on_miss"):
+            out.append("tags")
+        return out
+
+    @staticmethod
+    def _resolve(devs: dict[str, tuple[str | None, dict]],
+                 caps: list[str]) -> dict[str, list]:
+        """device_id → [cap values] with fall_back inheritance."""
+        memo: dict[str, dict] = {}
+
+        def closure(did: str, seen: tuple = ()) -> dict:
+            if did in memo:
+                return memo[did]
+            if did in seen:
+                raise ValueError(
+                    f"wurfl: fall_back cycle at {did!r} ({' -> '.join(seen)})")
+            fb, own = devs[did]
+            if fb is None:
+                merged = dict(own)
+            else:
+                if fb not in devs:
+                    raise ValueError(
+                        f"wurfl: device {did!r} falls back to unknown {fb!r}")
+                merged = {**closure(fb, seen + (did,)), **own}
+            memo[did] = merged
+            return merged
+
+        return {
+            did: [None if (v := closure(did).get(c)) is None else str(v)
+                  for c in caps]
+            for did in devs
+        }
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        source = self.conf.get("source", "message")
+        target = field_name(self.conf.get("target", "wurfl"))
+        caps = list(self.conf.get("capabilities", []))
+        if not caps:
+            raise ValueError(
+                "wurfl: `capabilities` list is required — it fixes the "
+                "output struct schema at plan time")
+        inline = self.conf.get("devices")
+        dev_df: DataFrame | None = self.conf.get("devices_df")
+        if inline is None and dev_df is None:
+            raise ValueError(
+                "wurfl: a device snapshot is required (devices / "
+                "devices_df) — the live commercial WURFL service is "
+                "rejected by design (dns/memcached precedent)")
+        if inline is None:
+            inline = [
+                {"device_id": r["device_id"], "user_agent": r["user_agent"],
+                 "fall_back": r["fall_back"],
+                 "capabilities": dict(r["capabilities"] or {})}
+                for r in dev_df.collect()  # bounded dim (useragent rules precedent)
+            ]
+        devs = {
+            str(d["device_id"]): (
+                None if d.get("fall_back") in (None, "", "root")
+                else str(d["fall_back"]),
+                dict(d.get("capabilities") or {}),
+            )
+            for d in inline
+        }
+        cap_rows = self._resolve(devs, caps)
+        # pattern → device_id; duplicate patterns pick min(device_id)
+        # DETERMINISTICALLY (es-filter/memcached stance)
+        pat2id: dict[str, str] = {}
+        for d in inline:
+            ua = d.get("user_agent")
+            if not ua:
+                continue
+            did = str(d["device_id"])
+            pat2id[ua] = min(pat2id.get(ua, did), did)
+        lengths = sorted({len(p) for p in pat2id}, reverse=True)
+        cap_dicts = [{did: row[j] for did, row in cap_rows.items()}
+                     for j in range(len(caps))]
+
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast((pat2id, lengths, cap_dicts))
+        out_schema = "device_id:string," + ",".join(
+            f"`{c}`:string" for c in caps)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(f"struct<{out_schema}>")
+        def _wurfl(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            p2i, lens, cdicts = bc.value
+            for s in batches:
+                ss = s.astype("string")
+                ids = pd.Series(None, index=s.index, dtype="object")
+                todo = ss.notna()
+                for ln in lens:
+                    if not todo.any():
+                        break
+                    # str[:ln] of a shorter UA is the UA itself — an
+                    # exact-match probe; first hit over descending
+                    # lengths IS the longest matching prefix
+                    hit = ss[todo].str[:ln].map(p2i)
+                    got = hit.dropna()
+                    ids.loc[got.index] = got
+                    todo.loc[got.index] = False
+                out = pd.DataFrame({"device_id": ids}, index=s.index)
+                for cap_name, cd in zip(caps, cdicts):
+                    out[cap_name] = ids.map(cd)
+                yield out
+
+        df = df.withColumn(target, _wurfl(field_col(source)))
+        matched = F.col(target)["device_id"].isNotNull()
+        df = df.withColumn(target, F.when(matched, F.col(target)))
+        tag_miss = self.conf.get("tag_on_miss")
+        if tag_miss:
+            df = add_tags(df, [tag_miss] if isinstance(tag_miss, str)
+                          else list(tag_miss), ~matched)
+        return df, matched
+
+
+# Reference plugin short name (logstash-filter-wurfl_device_detection
+# is also commonly configured as `wurfl`).
+from .base import STAGE_REGISTRY as _REG  # noqa: E402
+
+_REG["wurfl"] = WurflStage

@@ -621,3 +621,91 @@ def test_http_filter_broadcast_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # fact side never shuffles
     assert out.where(F.col("body").isNotNull()).count() == 100
+
+
+# ---------------------------------------------------------------------------
+# wurfl_device_detection (round-5 promotion: snapshot-based device lookup)
+# ---------------------------------------------------------------------------
+
+_WURFL_DEVICES = [
+    {"device_id": "generic", "user_agent": None, "fall_back": None,
+     "capabilities": {"is_mobile": "false", "brand_name": None,
+                      "pointing_method": "mouse"}},
+    {"device_id": "generic_mobile", "user_agent": "Mobile", "fall_back": "generic",
+     "capabilities": {"is_mobile": "true", "pointing_method": "touchscreen"}},
+    {"device_id": "acme_phone", "user_agent": "Mozilla/5.0 (AcmePhone",
+     "fall_back": "generic_mobile",
+     "capabilities": {"brand_name": "Acme", "model_name": "Phone X"}},
+    {"device_id": "acme_phone_v2",
+     "user_agent": "Mozilla/5.0 (AcmePhone; V2)", "fall_back": "acme_phone",
+     "capabilities": {"model_name": "Phone X2"}},
+]
+
+_WURFL_CONF = {
+    "source": "ua", "devices": _WURFL_DEVICES,
+    "capabilities": ["is_mobile", "brand_name", "model_name",
+                     "pointing_method"],
+    "tag_on_miss": "_wurfl_miss",
+}
+
+
+def test_wurfl_longest_prefix_and_fallback_inheritance(spark):
+    df = spark.createDataFrame(
+        [(1, "Mozilla/5.0 (AcmePhone; V2) WebKit"),   # longest prefix: v2
+         (2, "Mozilla/5.0 (AcmePhone; V1) WebKit"),   # shorter prefix: v1
+         (3, "Mobile Safari/604.1"),                  # generic_mobile
+         (4, "curl/8.0"),                             # miss
+         (5, None)],
+        "id int, ua string")
+    out = {r.id: r for r in
+           apply_stage(df, {"wurfl_device_detection": _WURFL_CONF}).collect()}
+    assert out[1].wurfl.device_id == "acme_phone_v2"
+    # own cap overrides, the rest inherited down the fall_back chain
+    assert out[1].wurfl.model_name == "Phone X2"
+    assert out[1].wurfl.brand_name == "Acme"
+    assert out[1].wurfl.is_mobile == "true"
+    assert out[1].wurfl.pointing_method == "touchscreen"
+    assert out[2].wurfl.device_id == "acme_phone"
+    assert out[2].wurfl.model_name == "Phone X"
+    assert out[3].wurfl.device_id == "generic_mobile"
+    assert out[3].wurfl.brand_name is None        # root declares null
+    assert out[4].wurfl is None and "_wurfl_miss" in out[4].tags
+    assert out[5].wurfl is None and "_wurfl_miss" in out[5].tags
+    assert "_wurfl_miss" not in (out[1].tags or [])
+
+
+def test_wurfl_exact_match_beats_shorter_prefix(spark):
+    df = spark.createDataFrame([(1, "Mobile")], "id int, ua string")
+    out = apply_stage(df, {"wurfl": _WURFL_CONF}).collect()[0]
+    assert out.wurfl.device_id == "generic_mobile"
+
+
+def test_wurfl_devices_df_and_validation(spark):
+    dim = spark.createDataFrame(
+        [(d["device_id"], d["user_agent"], d["fall_back"],
+          d["capabilities"]) for d in _WURFL_DEVICES],
+        "device_id string, user_agent string, fall_back string, "
+        "capabilities map<string,string>")
+    df = spark.createDataFrame([(1, "Mobile x")], "id int, ua string")
+    conf = {k: v for k, v in _WURFL_CONF.items() if k != "devices"}
+    out = apply_stage(
+        df, {"wurfl_device_detection": {**conf, "devices_df": dim}}).collect()[0]
+    assert out.wurfl.device_id == "generic_mobile"
+    with pytest.raises(ValueError, match="capabilities"):
+        apply_stage(df, {"wurfl": {"source": "ua",
+                                   "devices": _WURFL_DEVICES}})
+    with pytest.raises(ValueError, match="snapshot"):
+        apply_stage(df, {"wurfl": {"source": "ua",
+                                   "capabilities": ["is_mobile"]}})
+    bad = [{"device_id": "a", "user_agent": "x", "fall_back": "b",
+            "capabilities": {}},
+           {"device_id": "b", "user_agent": "y", "fall_back": "a",
+            "capabilities": {}}]
+    with pytest.raises(ValueError, match="cycle"):
+        apply_stage(df, {"wurfl": {"source": "ua", "devices": bad,
+                                   "capabilities": ["is_mobile"]}})
+    with pytest.raises(ValueError, match="unknown"):
+        apply_stage(df, {"wurfl": {
+            "source": "ua", "capabilities": ["is_mobile"],
+            "devices": [{"device_id": "a", "user_agent": "x",
+                         "fall_back": "ghost", "capabilities": {}}]}})
