@@ -1199,6 +1199,31 @@ _UA_RULES = [
     ("Chrome/", "Chrome", "Windows", "Other", 2),
     ("Safari", "Safari", "Mac OS X", "Other", 3),
 ]
+# wurfl leg (round 5): the same four UAs through a WURFL-style device
+# hierarchy — chrome_win_nt10 carries NO capabilities of its own (pure
+# fall_back inheritance) and its longer pattern must beat chrome_win's
+# (longest-prefix contract), so the leg exercises both mechanisms while
+# producing the exact regex-CASE values the oracle already states.
+_WURFL_SNAPSHOT = [
+    {"device_id": "generic", "user_agent": None, "fall_back": None,
+     "capabilities": {"device": "Other"}},
+    {"device_id": "firefox_linux", "user_agent": "Mozilla/5.0 (X11",
+     "fall_back": "generic",
+     "capabilities": {"name": "Firefox", "os": "Linux"}},
+    {"device_id": "chrome_win", "user_agent": "Mozilla/5.0 (Windows",
+     "fall_back": "generic",
+     "capabilities": {"name": "Chrome", "os": "Windows"}},
+    {"device_id": "chrome_win_nt10", "fall_back": "chrome_win",
+     "user_agent": "Mozilla/5.0 (Windows NT 10.0) AppleWebKit",
+     "capabilities": {}},
+    {"device_id": "safari_mac", "user_agent": "Mozilla/5.0 (Macintosh",
+     "fall_back": "generic",
+     "capabilities": {"name": "Safari", "os": "Mac OS X"}},
+    {"device_id": "acme_bot", "user_agent": "acmebot/",
+     "fall_back": "generic",
+     "capabilities": {"name": "AcmeBot", "os": "Other",
+                      "device": "Spider"}},
+]
 
 
 @_q(
@@ -1223,20 +1248,26 @@ _UA_RULES = [
            CASE WHEN regexp_matches(agent, 'bot') THEN 'Spider'
                 ELSE 'Other' END AS ua_device,
            s.strategy
-    FROM ua, (VALUES ('native'), ('pandas')) AS s(strategy)
+    FROM ua, (VALUES ('native'), ('pandas'), ('wurfl')) AS s(strategy)
     """,
 )
 def useragent_two_strategies(spark, sf_dir):
-    """useragent filter, BOTH strategies in one driver row: the native
-    priority-ordered when/rlike chain (uap-core first-match contract,
-    zero Python, ≤64 rules) and the pandas path (broadcast rule set +
-    vectorized str.contains over still-unmatched rows — the path for
-    uap-core-scale rule files). Each tagged and unioned."""
+    """Device detection battery, three strategies in one driver row:
+    the useragent filter's native priority-ordered when/rlike chain
+    (uap-core first-match contract, zero Python, ≤64 rules), its pandas
+    path (broadcast rule set + vectorized str.contains over
+    still-unmatched rows — the path for uap-core-scale rule files), and
+    the wurfl_device_detection filter (round 5: snapshot hierarchy,
+    longest-prefix match + fall_back capability inheritance) driven to
+    the same regex-CASE truth. Each tagged and unioned."""
     parts = [
         _useragent_query(spark, sf_dir, s).withColumn("strategy", F.lit(s))
-        for s in ("native", "pandas")
+        for s in ("native", "pandas", "wurfl")
     ]
-    return parts[0].unionByName(parts[1])
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _useragent_query(spark, sf_dir, strategy):
@@ -1247,6 +1278,18 @@ def _useragent_query(spark, sf_dir, strategy):
             F.pmod(F.col("user_id"), F.lit(4)).cast("int") + 1,
         ),
     )
+    if strategy == "wurfl":
+        out = apply_stage(
+            ev, {"wurfl_device_detection": {
+                "source": "agent", "devices": _WURFL_SNAPSHOT,
+                "capabilities": ["name", "os", "device"]}}
+        )
+        return out.select(
+            "event_id",
+            F.col("wurfl.name").alias("ua_name"),
+            F.col("wurfl.os").alias("ua_os"),
+            F.col("wurfl.device").alias("ua_device"),
+        )
     rules = spark.createDataFrame(
         _UA_RULES, "pattern string, name string, os string, device string, priority int"
     )
