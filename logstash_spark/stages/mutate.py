@@ -317,6 +317,7 @@ _DIGEST_FN = {
     "MD5": F.md5,
     "SHA1": F.sha1,
     "SHA256": lambda c: F.sha2(c, 256),
+    "SHA384": lambda c: F.sha2(c, 384),
     "SHA512": lambda c: F.sha2(c, 512),
 }
 
@@ -329,7 +330,7 @@ def hmac_col(src: Column, key: str, method: str = "SHA256") -> Column:
     """
     import hashlib
 
-    block = 128 if method == "SHA512" else 64
+    block = 128 if method in ("SHA512", "SHA384") else 64
     kb = key.encode("utf-8")
     if len(kb) > block:
         kb = hashlib.new(method.lower(), kb).digest()
@@ -376,6 +377,70 @@ class FingerprintStage(Stage):
             **_DIGEST_FN,
         }[method]
         return df.withColumn(target, fn(src)), None
+
+
+@register("anonymize")
+class AnonymizeStage(Stage):
+    """logstash-filter-anonymize (deprecated upstream in favor of
+    fingerprint; kept so ported configs run unchanged): replace each
+    field in ``fields`` IN PLACE with its anonymized form.
+
+    ``algorithm`` (default SHA1): MD5/SHA1/SHA256/SHA384/SHA512 are
+    HMAC-keyed with ``key`` (anonymize.rb's OpenSSL::HMAC — same
+    ``hmac_col`` native lowering as fingerprint, so values are
+    comparable with a reference deployment); MURMUR3 ignores the key
+    (reference behavior); IPV4_NETWORK keeps the network portion of an
+    IPv4 — ``key`` is the prefix length, host bits zeroed. All-native
+    expressions; nulls pass through untouched.
+    """
+
+    def _targets(self, df: DataFrame) -> list[str] | None:
+        fields = self.conf.get("fields", [])
+        return [field_name(f)
+                for f in ([fields] if isinstance(fields, str) else fields)]
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, Column | None]:
+        fields = self.conf.get("fields")
+        if not fields:
+            raise ValueError("anonymize: `fields` is required")
+        if isinstance(fields, str):
+            fields = [fields]
+        algo = self.conf.get("algorithm", "SHA1").upper()
+        key = self.conf.get("key")
+        if algo not in ("MURMUR3",) and key is None:
+            raise ValueError("anonymize: `key` is required")
+        for f in fields:
+            name = field_name(f)
+            src = field_col(f).cast("string")
+            if algo == "MURMUR3":
+                val = F.when(src.isNotNull(), F.hash(src).cast("string"))
+            elif algo == "IPV4_NETWORK":
+                prefix = int(key)
+                if not 0 <= prefix <= 32:
+                    raise ValueError(
+                        f"anonymize: IPV4_NETWORK key must be a prefix "
+                        f"length 0-32, got {key!r}")
+                from .enrich import ip_to_long
+
+                mask = (0xFFFFFFFF << (32 - prefix)) & 0xFFFFFFFF if prefix \
+                    else 0
+                n = ip_to_long(src).bitwiseAND(F.lit(mask))
+                val = F.concat_ws(
+                    ".",
+                    F.shiftright(n, 24).bitwiseAND(F.lit(255)).cast("string"),
+                    F.shiftright(n, 16).bitwiseAND(F.lit(255)).cast("string"),
+                    F.shiftright(n, 8).bitwiseAND(F.lit(255)).cast("string"),
+                    n.bitwiseAND(F.lit(255)).cast("string"),
+                )
+                # concat_ws skips nulls (would yield "") — gate on the
+                # parsed int so null/unparseable IPs stay null
+                val = F.when(n.isNotNull(), val)
+            elif algo in _DIGEST_FN:
+                val = hmac_col(src, str(key), algo)
+            else:
+                raise ValueError(f"anonymize: unsupported algorithm {algo!r}")
+            df = df.withColumn(name, val)
+        return df, None
 
 
 @register("uuid")

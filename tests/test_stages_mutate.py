@@ -240,3 +240,47 @@ def test_i18n_transliterate(spark):
     assert "folded" in rows[1].tags
     assert rows[2].a == "plain ascii" and rows[2].b is None
     assert "folded" not in (rows[2].tags or [])
+
+
+def test_anonymize_in_place_hmac_matches_stdlib(spark):
+    """anonymize (deprecated fingerprint alias): fields replaced IN
+    PLACE with HMAC-<algorithm>, OpenSSL::HMAC parity via stdlib."""
+    import hmac as _hmac
+
+    df = spark.createDataFrame([(1, "alice", "10.1.2.3"), (2, None, None)],
+                               "id int, user string, ip string")
+    out = {r.id: r for r in apply_stage(
+        df, {"anonymize": {"fields": ["user", "ip"], "key": "s3cret",
+                           "algorithm": "SHA1"}}).collect()}
+    exp = _hmac.new(b"s3cret", b"alice", "sha1").hexdigest()
+    assert out[1].user == exp
+    assert out[1].ip == _hmac.new(b"s3cret", b"10.1.2.3", "sha1").hexdigest()
+    assert out[2].user is None and out[2].ip is None
+
+
+def test_anonymize_sha384_and_murmur(spark):
+    import hmac as _hmac
+
+    df = spark.createDataFrame([(1, "x")], "id int, v string")
+    out = apply_stage(df, {"anonymize": {
+        "fields": "v", "key": "k", "algorithm": "SHA384"}}).collect()[0]
+    assert out.v == _hmac.new(b"k", b"x", "sha384").hexdigest()
+    out = apply_stage(df, {"anonymize": {
+        "fields": "v", "algorithm": "MURMUR3"}}).collect()[0]
+    assert out.v.lstrip("-").isdigit()
+
+
+def test_anonymize_ipv4_network(spark):
+    df = spark.createDataFrame(
+        [(1, "192.168.37.201"), (2, "not-an-ip"), (3, None)],
+        "id int, ip string")
+    out = {r.id: r for r in apply_stage(
+        df, {"anonymize": {"fields": ["ip"], "key": "24",
+                           "algorithm": "IPV4_NETWORK"}}).collect()}
+    assert out[1].ip == "192.168.37.0"
+    assert out[2].ip is None and out[3].ip is None
+    with pytest.raises(ValueError, match="prefix"):
+        apply_stage(df, {"anonymize": {"fields": ["ip"], "key": "64",
+                                       "algorithm": "IPV4_NETWORK"}})
+    with pytest.raises(ValueError, match="key"):
+        apply_stage(df, {"anonymize": {"fields": ["ip"]}})
