@@ -270,6 +270,12 @@ def resolve_input(
             F.col("id").alias("sequence"),
         )
 
+    if plugin == "elasticsearch":
+        return _read_elasticsearch(spark, args, streaming)
+
+    if plugin == "http_poller":
+        return _read_http_poller(spark, args, streaming)
+
     if plugin == "stdin":
         raise SourceError("'stdin' input has no batch-engine equivalent "
                           "(SURVEY §2.2 [P2]) — use `generator` or `file`")
@@ -408,3 +414,210 @@ def _read_es_bulk(spark: SparkSession, path: str, streaming: bool) -> DataFrame:
             "path string, modificationTime timestamp, length long, content binary"
         )
     return binf.load(path).select("content").mapInPandas(decode, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# elasticsearch input (round 5): logstash-input-elasticsearch — scroll a
+# query over an index, one hit per event. A scroll is a point-in-time
+# SNAPSHOT of the index, which is exactly the dns/memcached/es-filter
+# snapshot stance: the index comes in as an exported table
+# (`snapshot_df` / `snapshot_table` / `snapshot_path` — the SURVEY §2.2
+# mapping "spark.read from an exported table"; on a real cluster the
+# es-hadoop connector reads the live index through the same resolve).
+# The reference's `query` (ES query DSL) is TRANSLATED to a Catalyst
+# predicate — so the "scroll query" predicate-pushes into the parquet
+# scan instead of post-filtering, the Spark-first equivalent of ES
+# doing the filtering server-side.
+# ---------------------------------------------------------------------------
+
+def _as_clause_list(x) -> list:
+    if x is None:
+        return []
+    return list(x) if isinstance(x, (list, tuple)) else [x]
+
+
+def _es_query_to_pred(q: dict):
+    """ES query-DSL subset → Catalyst Column predicate. Supported:
+    match_all / term / terms / exists / range(gt,gte,lt,lte) /
+    bool(must,filter,should,must_not). Anything else is a loud error —
+    silently ignoring a clause would return MORE rows than the
+    reference."""
+    if not q:
+        return F.lit(True)
+    if len(q) != 1:
+        raise SourceError(
+            f"elasticsearch query: expected ONE top-level clause, got "
+            f"{sorted(q)}")
+    (kind, body), = q.items()
+    if kind == "match_all":
+        return F.lit(True)
+    if kind == "term":
+        (fld, v), = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return F.col(fld) == F.lit(v)
+    if kind == "terms":
+        (fld, vs), = body.items()
+        return F.col(fld).isin(list(vs))
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    if kind == "range":
+        (fld, ops), = body.items()
+        pred = F.lit(True)
+        for op, v in ops.items():
+            c = F.col(fld)
+            if op == "gte":
+                p = c >= F.lit(v)
+            elif op == "gt":
+                p = c > F.lit(v)
+            elif op == "lte":
+                p = c <= F.lit(v)
+            elif op == "lt":
+                p = c < F.lit(v)
+            else:
+                raise SourceError(
+                    f"elasticsearch range: unsupported operator {op!r}")
+            pred = pred & p
+        return pred
+    if kind == "bool":
+        pred = F.lit(True)
+        for clause in ("must", "filter"):
+            for sub in _as_clause_list(body.get(clause)):
+                pred = pred & _es_query_to_pred(sub)
+        should = _as_clause_list(body.get("should"))
+        if should:
+            p = F.lit(False)
+            for sub in should:
+                p = p | _es_query_to_pred(sub)
+            pred = pred & p
+        for sub in _as_clause_list(body.get("must_not")):
+            pred = pred & ~_es_query_to_pred(sub)
+        return pred
+    raise SourceError(
+        f"elasticsearch query: unsupported clause {kind!r} (supported: "
+        "match_all/term/terms/exists/range/bool)")
+
+
+def _read_elasticsearch(spark: SparkSession, args: dict,
+                        streaming: bool) -> DataFrame:
+    if streaming:
+        raise SourceError(
+            "elasticsearch input is batch-only: a scroll is a "
+            "point-in-time snapshot (use the file/kafka streaming "
+            "inputs for a live feed)")
+    snap_df = args.get("snapshot_df")
+    table = args.get("snapshot_table")
+    path = args.get("snapshot_path")
+    if snap_df is not None:
+        df = snap_df
+    elif table:
+        df = spark.read.table(table)
+    elif path:
+        df = spark.read.parquet(path)
+    else:
+        raise SourceError(
+            "elasticsearch input: an index snapshot is required "
+            "(snapshot_df / snapshot_table / snapshot_path) — the live "
+            "cluster path is the es-hadoop connector on a real "
+            "deployment (no jar in sandbox)")
+    query = args.get("query")
+    if query is not None:
+        if isinstance(query, str):
+            import json as _json
+
+            query = _json.loads(query)
+        # the reference wraps the clause in {"query": ...} sometimes
+        query = query.get("query", query)
+        df = df.where(_es_query_to_pred(query))
+    if args.get("docinfo"):
+        # logstash-input-elasticsearch docinfo: hit metadata under
+        # @metadata (we surface _index and _id; _id from `id_column`
+        # when the export carries one)
+        target = args.get("docinfo_target", "@metadata")
+        id_col = args.get("id_column", "_id")
+        idc = F.col(id_col).cast("string") if id_col in df.columns \
+            else F.lit(None).cast("string")
+        df = df.withColumn(
+            target,
+            F.struct(
+                F.lit(args.get("index", "")).alias("_index"),
+                idc.alias("_id"),
+            ),
+        )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# http_poller input (round 5): logstash-input-http_poller — poll each
+# configured URL once per schedule tick; one BATCH is one tick (the
+# schedule itself belongs to the orchestrator, same stance as the
+# heartbeat input). The transport seam is the http filter's: an inline
+# `responses` snapshot, an injected callable, or stdlib urllib for a
+# live deployment. The url set is CONFIG-bounded (a handful of
+# endpoints), so the fetch loop runs driver-side by design — the data
+# volume lives in the response bodies, which become a distributed
+# DataFrame immediately.
+# ---------------------------------------------------------------------------
+
+_POLLER_SCHEMA = ("name string, url string, status int, message string, "
+                  "headers map<string,string>, tags array<string>")
+
+
+def _read_http_poller(spark: SparkSession, args: dict,
+                      streaming: bool) -> DataFrame:
+    if streaming:
+        raise SourceError(
+            "http_poller input is batch-per-tick: run the pipeline on "
+            "the poll schedule (heartbeat-input stance)")
+    urls = args.get("urls")
+    if not urls:
+        raise SourceError("http_poller: `urls` map {name: url|{url:}} "
+                          "is required")
+    tag = args.get("tag_on_failure", "_http_request_failure")
+    responses: dict | None = args.get("responses")
+    transport = args.get("transport")
+    if responses is None and transport is None:
+        raise SourceError(
+            "http_poller: provide `responses` (snapshot dict), a "
+            "`transport` callable, or transport='urllib' (live) — this "
+            "sandbox has no network, so the seam is explicit "
+            "(http-filter precedent)")
+    if responses is not None:
+        def fetch(u: str):
+            if u not in responses:
+                raise KeyError(u)
+            return 200, {}, str(responses[u])
+    elif transport == "urllib":
+        timeout = float(args.get("request_timeout", 10))
+
+        def fetch(u: str):
+            import urllib.request
+
+            with urllib.request.urlopen(u, timeout=timeout) as r:
+                return (r.status, dict(r.headers.items()),
+                        r.read().decode("utf-8", errors="replace"))
+    elif callable(transport):
+        fetch = transport
+    else:
+        raise SourceError(f"http_poller: bad transport {transport!r}")
+
+    rows = []
+    for name, spec in urls.items():
+        if isinstance(spec, str):
+            u, method = spec, "get"
+        else:
+            u = spec["url"]
+            method = str(spec.get("method", "get")).lower()
+        if method != "get":
+            raise SourceError(
+                f"http_poller: url {name!r} uses {method} — non-GET "
+                "polling is a side effect per tick, rejected by design "
+                "(http-filter precedent)")
+        try:
+            status, hdrs, body = fetch(u)
+            rows.append((str(name), u, int(status), str(body),
+                         {str(k): str(v) for k, v in dict(hdrs).items()},
+                         None))
+        except Exception as e:  # one failed endpoint ≠ a failed tick
+            rows.append((str(name), u, None, str(e)[:200], None, [tag]))
+    return spark.createDataFrame(rows, _POLLER_SCHEMA)

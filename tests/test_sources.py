@@ -458,3 +458,98 @@ def test_stdout_debug_codecs(spark, capsys):
     )
     fmts = [o.get("format", "parquet") for o in spec["outputs"]]
     assert fmts == ["rubydebug", "dots", "parquet"]
+
+
+# ---------------------------------------------------------------------------
+# elasticsearch input (round 5): snapshot read + query-DSL translation
+# ---------------------------------------------------------------------------
+
+
+def _es_snapshot(spark):
+    return spark.createDataFrame(
+        [("d1", "web", 200, "alice"), ("d2", "web", 500, "bob"),
+         ("d3", "api", 200, None), ("d4", "api", 404, "carol")],
+        "_id string, service string, status int, user string")
+
+
+def test_es_input_query_dsl_pushdown(spark):
+    snap = _es_snapshot(spark)
+    q = {"query": {"bool": {
+        "must": [{"term": {"service": "web"}}],
+        "filter": [{"range": {"status": {"gte": 200, "lt": 300}}}]}}}
+    df = resolve_input(spark, "elasticsearch",
+                       {"snapshot_df": snap, "query": q})
+    assert [r._id for r in df.collect()] == ["d1"]
+    # should (OR) + must_not + exists + terms
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": snap,
+        "query": {"bool": {
+            "should": [{"term": {"status": 404}},
+                       {"term": {"status": 500}}],
+            "must_not": [{"term": {"service": "web"}}]}}})
+    assert [r._id for r in df.collect()] == ["d4"]
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": snap, "query": {"exists": {"field": "user"}}})
+    assert sorted(r._id for r in df.collect()) == ["d1", "d2", "d4"]
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": snap,
+        "query": '{"terms": {"service": ["api"]}}'})  # JSON-string form
+    assert sorted(r._id for r in df.collect()) == ["d3", "d4"]
+
+
+def test_es_input_docinfo_and_guards(spark, tmp_path):
+    snap = _es_snapshot(spark)
+    p = tmp_path / "idx"
+    snap.write.parquet(str(p))
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_path": str(p), "index": "logs-2026",
+        "docinfo": True, "query": {"match_all": {}}})
+    row = df.where(df["_id"] == "d1").collect()[0]
+    meta = row["@metadata"]
+    assert meta._index == "logs-2026" and meta._id == "d1"
+    with pytest.raises(SourceError, match="snapshot"):
+        resolve_input(spark, "elasticsearch", {})
+    with pytest.raises(SourceError, match="unsupported clause"):
+        resolve_input(spark, "elasticsearch", {
+            "snapshot_df": snap,
+            "query": {"fuzzy": {"user": "alise"}}}).collect()
+    with pytest.raises(SourceError, match="batch-only"):
+        resolve_input(spark, "elasticsearch", {"snapshot_df": snap},
+                      streaming=True)
+
+
+# ---------------------------------------------------------------------------
+# http_poller input (round 5): one tick per batch, transport seam
+# ---------------------------------------------------------------------------
+
+
+def test_http_poller_snapshot_and_failures(spark):
+    df = resolve_input(spark, "http_poller", {
+        "urls": {"health": "http://svc/health",
+                 "stats": {"url": "http://svc/stats"},
+                 "down": "http://svc/missing"},
+        "responses": {"http://svc/health": "OK",
+                      "http://svc/stats": '{"q": 7}'}})
+    rows = {r.name: r for r in df.collect()}
+    assert rows["health"].status == 200 and rows["health"].message == "OK"
+    assert rows["stats"].message == '{"q": 7}'
+    assert rows["down"].status is None
+    assert "_http_request_failure" in rows["down"].tags
+    with pytest.raises(SourceError, match="non-GET"):
+        resolve_input(spark, "http_poller", {
+            "urls": {"x": {"url": "http://svc/x", "method": "post"}},
+            "responses": {}})
+    with pytest.raises(SourceError, match="seam"):
+        resolve_input(spark, "http_poller", {"urls": {"x": "http://x"}})
+
+
+def test_http_poller_callable_transport(spark):
+    def fake(u):
+        return 200, {"x-served-by": "t"}, f"body-of:{u}"
+
+    df = resolve_input(spark, "http_poller", {
+        "urls": {"a": "http://one", "b": "http://two"},
+        "transport": fake})
+    rows = {r.name: r for r in df.collect()}
+    assert rows["a"].message == "body-of:http://one"
+    assert rows["b"].headers == {"x-served-by": "t"}
