@@ -479,23 +479,57 @@ def _es_query_to_pred(q: dict):
                     f"elasticsearch range: unsupported operator {op!r}")
             pred = pred & p
         return pred
+    if kind == "ids":
+        return F.col("_id").isin([str(v) for v in body["values"]])
+    if kind == "prefix":
+        (fld, v), = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return F.col(fld).startswith(str(v))
+    if kind == "wildcard":
+        (fld, v), = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        # ES wildcard syntax: * = any run, ? = any single char; all
+        # other characters literal → anchored Java regex via rlike
+        import re as _re
+
+        pat = "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in str(v))
+        return F.col(fld).rlike(f"^(?s){pat}$")
     if kind == "bool":
         pred = F.lit(True)
-        for clause in ("must", "filter"):
-            for sub in _as_clause_list(body.get(clause)):
-                pred = pred & _es_query_to_pred(sub)
-        should = _as_clause_list(body.get("should"))
-        if should:
-            p = F.lit(False)
-            for sub in should:
-                p = p | _es_query_to_pred(sub)
+        must = [_es_query_to_pred(sub)
+                for clause in ("must", "filter")
+                for sub in _as_clause_list(body.get(clause))]
+        for p in must:
             pred = pred & p
+        should = [_es_query_to_pred(sub)
+                  for sub in _as_clause_list(body.get("should"))]
+        if should:
+            # ES default: should is OPTIONAL when must/filter are
+            # present (minimum_should_match 0), required (1) otherwise;
+            # integer minimum_should_match k → at least k clauses hit
+            msm = body.get("minimum_should_match")
+            if msm is None:
+                msm = 0 if must else 1
+            msm = int(msm)
+            if msm > 0:
+                hits = None
+                for p in should:
+                    h = F.when(p, 1).otherwise(0)
+                    hits = h if hits is None else hits + h
+                pred = pred & (hits >= F.lit(msm))
         for sub in _as_clause_list(body.get("must_not")):
-            pred = pred & ~_es_query_to_pred(sub)
+            p = _es_query_to_pred(sub)
+            # ES must_not is a filter-context exclusion: a row matches
+            # unless the clause POSITIVELY matches (null ≠ match)
+            pred = pred & ~F.coalesce(p, F.lit(False))
         return pred
     raise SourceError(
         f"elasticsearch query: unsupported clause {kind!r} (supported: "
-        "match_all/term/terms/exists/range/bool)")
+        "match_all/term/terms/exists/range/ids/prefix/wildcard/bool)")
 
 
 def _read_elasticsearch(spark: SparkSession, args: dict,

@@ -553,3 +553,56 @@ def test_http_poller_callable_transport(spark):
     rows = {r.name: r for r in df.collect()}
     assert rows["a"].message == "body-of:http://one"
     assert rows["b"].headers == {"x-served-by": "t"}
+
+
+def test_es_input_bool_should_optional_with_must(spark):
+    """ES default: `should` is optional (scoring-only) when must/filter
+    are present; required (min 1) when bool has only should —
+    minimum_should_match overrides either way."""
+    snap = _es_snapshot(spark)
+    # must + should: should must NOT restrict (d1 AND d2 survive)
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": snap,
+        "query": {"bool": {"must": [{"term": {"service": "web"}}],
+                           "should": [{"term": {"status": 404}}]}}})
+    assert sorted(r._id for r in df.collect()) == ["d1", "d2"]
+    # ... unless minimum_should_match forces it
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": snap,
+        "query": {"bool": {"must": [{"term": {"service": "web"}}],
+                           "should": [{"term": {"status": 500}}],
+                           "minimum_should_match": 1}}})
+    assert [r._id for r in df.collect()] == ["d2"]
+    # k-of-n
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": snap,
+        "query": {"bool": {
+            "should": [{"term": {"service": "web"}},
+                       {"term": {"status": 200}},
+                       {"term": {"user": "alice"}}],
+            "minimum_should_match": 2}}})
+    # d1 hits all three; d2/d3 hit exactly one; d4 none
+    assert [r._id for r in df.collect()] == ["d1"]
+
+
+def test_es_input_must_not_null_and_wildcard_prefix_ids(spark):
+    snap = _es_snapshot(spark)
+    # d3 has user=NULL: must_not term on user must KEEP it (missing
+    # field does not positively match)
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": snap,
+        "query": {"bool": {"must_not": [{"term": {"user": "bob"}}]}}})
+    assert sorted(r._id for r in df.collect()) == ["d1", "d3", "d4"]
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": snap, "query": {"prefix": {"user": "car"}}})
+    assert [r._id for r in df.collect()] == ["d4"]
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": snap, "query": {"wildcard": {"user": "?ob"}}})
+    assert [r._id for r in df.collect()] == ["d2"]
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": snap,
+        "query": {"wildcard": {"user": "a*e"}}})
+    assert [r._id for r in df.collect()] == ["d1"]
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": snap, "query": {"ids": {"values": ["d2", "d3"]}}})
+    assert sorted(r._id for r in df.collect()) == ["d2", "d3"]
