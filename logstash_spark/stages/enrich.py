@@ -1293,6 +1293,29 @@ class HttpStage(Stage):
         return df, F.col("__matched")
 
 
+def wurfl_match_series(s: pd.Series, p2i: dict[str, str],
+                       lengths: list[int]) -> pd.Series:
+    """Vectorized exact/longest-prefix match: UAs → device_id (or None).
+    ``lengths`` = distinct pattern lengths, DESCENDING — the first hit
+    over descending lengths is by construction the longest matching
+    prefix (``str[:ln]`` of a shorter UA is the UA itself, which makes
+    the over-length probes exact-match probes). Pure pandas, fuzzed
+    against a naive per-row reference in tests."""
+    ss = s.astype("string")
+    ids = pd.Series(None, index=s.index, dtype="object")
+    todo = ss.notna()
+    for ln in lengths:
+        if not todo.any():
+            break
+        hit = ss[todo].str[:ln].map(p2i)
+        got = hit.dropna()
+        ids.loc[got.index] = got
+        todo.loc[got.index] = False
+    # misses are true None (an object Series filled with a scalar None
+    # materializes NaN; Arrow nulls either, the pure contract is None)
+    return ids.where(ids.notna(), other=None)
+
+
 @register("wurfl_device_detection")
 class WurflStage(Stage):
     """logstash-filter-wurfl_device_detection — match the event's
@@ -1408,19 +1431,7 @@ class WurflStage(Stage):
         def _wurfl(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
             p2i, lens, cdicts = bc.value
             for s in batches:
-                ss = s.astype("string")
-                ids = pd.Series(None, index=s.index, dtype="object")
-                todo = ss.notna()
-                for ln in lens:
-                    if not todo.any():
-                        break
-                    # str[:ln] of a shorter UA is the UA itself — an
-                    # exact-match probe; first hit over descending
-                    # lengths IS the longest matching prefix
-                    hit = ss[todo].str[:ln].map(p2i)
-                    got = hit.dropna()
-                    ids.loc[got.index] = got
-                    todo.loc[got.index] = False
+                ids = wurfl_match_series(s, p2i, lens)
                 out = pd.DataFrame({"device_id": ids}, index=s.index)
                 for cap_name, cd in zip(caps, cdicts):
                     out[cap_name] = ids.map(cd)

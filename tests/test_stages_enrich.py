@@ -709,3 +709,39 @@ def test_wurfl_devices_df_and_validation(spark):
             "source": "ua", "capabilities": ["is_mobile"],
             "devices": [{"device_id": "a", "user_agent": "x",
                          "fall_back": "ghost", "capabilities": {}}]}})
+
+
+def test_wurfl_match_series_fuzz_vs_naive():
+    """Property: the vectorized descending-length matcher equals the
+    naive per-row longest-prefix scan on randomized pattern sets over a
+    tiny alphabet (maximum prefix collision pressure)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import pandas as pd
+
+    from logstash_spark.stages.enrich import wurfl_match_series
+
+    word = st.text(alphabet="ab", min_size=1, max_size=8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pats=st.sets(word, min_size=1, max_size=12),
+        uas=st.lists(st.one_of(st.none(),
+                               st.text(alphabet="ab", max_size=12)),
+                     min_size=1, max_size=20),
+    )
+    def check(pats, uas):
+        p2i = {p: f"dev_{p}" for p in pats}
+        lengths = sorted({len(p) for p in p2i}, reverse=True)
+        got = wurfl_match_series(pd.Series(uas, dtype="object"),
+                                 p2i, lengths)
+        for ua, g in zip(uas, got.tolist()):
+            if ua is None:
+                assert g is None
+                continue
+            best = max((p for p in p2i if ua.startswith(p)),
+                       key=len, default=None)
+            assert g == (p2i[best] if best is not None else None), \
+                (ua, sorted(pats), g, best)
+
+    check()
