@@ -491,13 +491,15 @@ def _es_query_to_pred(q: dict):
         if isinstance(v, dict):
             v = v["value"]
         # ES wildcard syntax: * = any run, ? = any single char; all
-        # other characters literal → anchored Java regex via rlike
+        # other characters literal → anchored Java regex via rlike.
+        # \z not $: Java's $ matches before a trailing newline, which
+        # would return rows ES's exact keyword match would not
         import re as _re
 
         pat = "".join(
             ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
             for ch in str(v))
-        return F.col(fld).rlike(f"^(?s){pat}$")
+        return F.col(fld).rlike(f"\\A(?s){pat}\\z")
     if kind == "bool":
         pred = F.lit(True)
         must = [_es_query_to_pred(sub)
@@ -510,11 +512,28 @@ def _es_query_to_pred(q: dict):
         if should:
             # ES default: should is OPTIONAL when must/filter are
             # present (minimum_should_match 0), required (1) otherwise;
-            # integer minimum_should_match k → at least k clauses hit
+            # integer k → at least k clauses hit; negative k → all but
+            # |k|; "N%" → floor(N% of total) (the ES forms; combination
+            # forms like "3<90%" are rejected loudly)
             msm = body.get("minimum_should_match")
             if msm is None:
                 msm = 0 if must else 1
-            msm = int(msm)
+            elif isinstance(msm, str) and msm.rstrip().endswith("%"):
+                try:
+                    pct = float(msm.rstrip().rstrip("%"))
+                except ValueError:
+                    raise SourceError(
+                        f"elasticsearch bool: unsupported "
+                        f"minimum_should_match form {msm!r}") from None
+                msm = int(len(should) * pct / 100.0)
+            try:
+                msm = int(msm)
+            except (TypeError, ValueError):
+                raise SourceError(
+                    f"elasticsearch bool: unsupported "
+                    f"minimum_should_match form {msm!r}") from None
+            if msm < 0:
+                msm = max(0, len(should) + msm)
             if msm > 0:
                 hits = None
                 for p in should:
@@ -560,6 +579,11 @@ def _read_elasticsearch(spark: SparkSession, args: dict,
             import json as _json
 
             query = _json.loads(query)
+        if not isinstance(query, dict):
+            raise SourceError(
+                "elasticsearch query must be a DSL object (a single "
+                f"top-level clause), got {type(query).__name__} — wrap "
+                "clause lists in a bool query")
         # the reference wraps the clause in {"query": ...} sometimes
         query = query.get("query", query)
         df = df.where(_es_query_to_pred(query))
@@ -608,32 +632,9 @@ def _read_http_poller(spark: SparkSession, args: dict,
         raise SourceError("http_poller: `urls` map {name: url|{url:}} "
                           "is required")
     tag = args.get("tag_on_failure", "_http_request_failure")
-    responses: dict | None = args.get("responses")
-    transport = args.get("transport")
-    if responses is None and transport is None:
-        raise SourceError(
-            "http_poller: provide `responses` (snapshot dict), a "
-            "`transport` callable, or transport='urllib' (live) — this "
-            "sandbox has no network, so the seam is explicit "
-            "(http-filter precedent)")
-    if responses is not None:
-        def fetch(u: str):
-            if u not in responses:
-                raise KeyError(u)
-            return 200, {}, str(responses[u])
-    elif transport == "urllib":
-        timeout = float(args.get("request_timeout", 10))
+    from .http_transport import resolve_transport
 
-        def fetch(u: str):
-            import urllib.request
-
-            with urllib.request.urlopen(u, timeout=timeout) as r:
-                return (r.status, dict(r.headers.items()),
-                        r.read().decode("utf-8", errors="replace"))
-    elif callable(transport):
-        fetch = transport
-    else:
-        raise SourceError(f"http_poller: bad transport {transport!r}")
+    fetch = resolve_transport(args, err=SourceError, who="http_poller")
 
     rows = []
     for name, spec in urls.items():

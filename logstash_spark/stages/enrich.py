@@ -730,6 +730,13 @@ class JdbcStreamingStage(Stage):
                         rec.append(v)
                     hits.append(tuple(rec))
                 rs.close()
+                # DETERMINISTIC multi-hit order (es-filter stance): a
+                # statement without ORDER BY returns rows in arbitrary
+                # scan order, which would differ across retries/replays
+                # and from the degraded regime's sort_array. Same
+                # ordering as sort_array: ascending, nulls first.
+                hits.sort(key=lambda t: tuple((v is not None, v)
+                                              for v in t))
                 dim_rows.append(tuple(vals[p] for p in key_cols) + (hits,))
             ps.close()
         finally:
@@ -879,12 +886,18 @@ class JdbcStreamingStage(Stage):
         # lowerBound / upperBound / numPartitions, fetchsize, …) so the
         # scan parallelizes when the backing table warrants it; note
         # partitionColumn must name a column of the REWRITTEN query
-        # (the hoisted keys are exposed as "__pk_0"…).
+        # (the hoisted keys are exposed as "__pk_0"…). Spark forbids
+        # `query` together with `partitionColumn`, so the partitioned
+        # form wraps the statement as a dbtable subquery instead.
         read_opts = dict(self.conf.get("jdbc_read_options", {}))
         read_opts.setdefault("fetchsize", "10000")
+        if "partitionColumn" in read_opts:
+            stmt_opt = {"dbtable": f"({rewritten}) spark_jdbc_q"}
+        else:
+            stmt_opt = {"query": rewritten}
         dim_raw = (
             spark.read.format("jdbc")
-            .options(url=url, driver=driver, query=rewritten, **read_opts)
+            .options(url=url, driver=driver, **stmt_opt, **read_opts)
             .load()
         )
         raw_cols = dim_raw.columns
@@ -1215,14 +1228,13 @@ class HttpStage(Stage):
         max_urls = int(self.conf.get("max_distinct_urls", 100_000))
         url_col = sprintf_col(self.conf["url"])
 
+        from ..http_transport import resolve_transport
+
         responses: dict[str, str] | None = self.conf.get("responses")
-        transport = self.conf.get("transport")
-        if responses is None and transport is None:
-            raise ValueError(
-                "http filter: provide `responses` (snapshot dict), a "
-                "`transport` callable, or transport='urllib' (live) — "
-                "this sandbox has no network, so the seam is explicit"
-            )
+        # shared seam (http_transport.py) — validates up front even on
+        # the snapshot path so misconfiguration fails at plan time
+        transport_fn = resolve_transport(self.conf, err=ValueError,
+                                         who="http filter")
 
         spark = df.sparkSession
         df = df.withColumn("__http_url", url_col)
@@ -1232,22 +1244,6 @@ class HttpStage(Stage):
                 self.DIM_SCHEMA,
             )
         else:
-            if transport == "urllib":
-                timeout = float(self.conf.get("request_timeout", 10))
-                req_headers = dict(self.conf.get("headers", {}))
-
-                def transport_fn(u: str):
-                    import urllib.request
-
-                    req = urllib.request.Request(u, headers=req_headers)
-                    with urllib.request.urlopen(req, timeout=timeout) as r:
-                        return (r.status, dict(r.headers.items()),
-                                r.read().decode("utf-8", errors="replace"))
-            elif callable(transport):
-                transport_fn = transport
-            else:
-                raise ValueError(f"http filter: bad transport {transport!r}")
-
             urls = df.select("__http_url").where(
                 F.col("__http_url").isNotNull()).distinct()
             n = urls.limit(max_urls + 1).count()
@@ -1343,7 +1339,7 @@ class WurflStage(Stage):
     """
 
     def _targets(self, df: DataFrame) -> list[str] | None:
-        out = [self.conf.get("target", "wurfl")]
+        out = [field_name(self.conf.get("target", "wurfl"))]
         if self.conf.get("tag_on_miss"):
             out.append("tags")
         return out

@@ -606,3 +606,39 @@ def test_es_input_must_not_null_and_wildcard_prefix_ids(spark):
     df = resolve_input(spark, "elasticsearch", {
         "snapshot_df": snap, "query": {"ids": {"values": ["d2", "d3"]}}})
     assert sorted(r._id for r in df.collect()) == ["d2", "d3"]
+
+
+def test_es_input_msm_negative_percent_and_query_type_guard(spark):
+    snap = _es_snapshot(spark)
+    three_should = [{"term": {"service": "web"}},
+                    {"term": {"status": 200}},
+                    {"term": {"user": "alice"}}]
+    # -1 of 3 → 2 required: only d1 (3 hits) qualifies; d2/d3 hit 1
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": snap,
+        "query": {"bool": {"should": three_should,
+                           "minimum_should_match": -2}}})
+    assert sorted(r._id for r in df.collect()) == ["d1", "d2", "d3"]
+    # "67%" of 3 → floor(2.01)=2
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": snap,
+        "query": {"bool": {"should": three_should,
+                           "minimum_should_match": "67%"}}})
+    assert [r._id for r in df.collect()] == ["d1"]
+    with pytest.raises(SourceError, match="minimum_should_match"):
+        resolve_input(spark, "elasticsearch", {
+            "snapshot_df": snap,
+            "query": {"bool": {"should": three_should,
+                               "minimum_should_match": "3<90%"}}})
+    with pytest.raises(SourceError, match="DSL object"):
+        resolve_input(spark, "elasticsearch", {
+            "snapshot_df": snap, "query": '[{"term": {"a": 1}}]'})
+
+
+def test_es_input_wildcard_is_exact_value_anchored(spark):
+    # Java's $ matches before a trailing newline; \z must not
+    snap = spark.createDataFrame([("d1", "bob"), ("d2", "bob\n")],
+                                 "_id string, user string")
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": snap, "query": {"wildcard": {"user": "b*b"}}})
+    assert [r._id for r in df.collect()] == ["d1"]

@@ -328,6 +328,15 @@ def test_jdbc_streaming_degrades_to_static_plan_above_guard(spark, tmp_path):
         **conf, "max_distinct_params": 3,
         # exercise the Spark-jdbc option passthrough on the degraded read
         "jdbc_read_options": {"fetchsize": "7"}}})
+    # partitionColumn is incompatible with Spark's `query` option — the
+    # stage must wrap the rewritten statement as a dbtable subquery so
+    # the documented parallel-scan path actually loads
+    parted = apply_stage(df, {"jdbc_streaming": {
+        **conf, "max_distinct_params": 3,
+        "jdbc_read_options": {"partitionColumn": "zone", "lowerBound": "0",
+                              "upperBound": "10", "numPartitions": "2"}}})
+    assert {r.id: r.host_info for r in parted.collect()} == \
+        {r.id: r.host_info for r in fast.collect()}
     assert fast.schema == slow.schema
     f_rows = {r.id: r for r in fast.collect()}
     s_rows = {r.id: r for r in slow.collect()}
