@@ -1289,6 +1289,37 @@ class HttpStage(Stage):
         return df, F.col("__matched")
 
 
+def _load_wurfl_devices(path: str) -> list[dict]:
+    """Load a device snapshot from the reference's own wire formats:
+    ``wurfl.xml`` (the WURFL database layout —
+    ``<device id user_agent fall_back><group><capability name value>``)
+    or a ``.json`` list of device dicts. Plan-time, dim-sized."""
+    if path.endswith(".json"):
+        import json as _json
+
+        with open(path) as f:
+            return _json.load(f)
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    out = []
+    for dev in root.iter("device"):
+        caps = {
+            c.get("name"): c.get("value")
+            for grp in dev.findall("group")
+            for c in grp.findall("capability")
+        }
+        out.append({
+            "device_id": dev.get("id"),
+            "user_agent": dev.get("user_agent") or None,
+            "fall_back": dev.get("fall_back"),
+            "capabilities": caps,
+        })
+    if not out:
+        raise ValueError(f"wurfl: no <device> entries in {path!r}")
+    return out
+
+
 def wurfl_match_series(s: pd.Series, p2i: dict[str, str],
                        lengths: list[int]) -> pd.Series:
     """Vectorized exact/longest-prefix match: UAs → device_id (or None).
@@ -1383,11 +1414,15 @@ class WurflStage(Stage):
                 "output struct schema at plan time")
         inline = self.conf.get("devices")
         dev_df: DataFrame | None = self.conf.get("devices_df")
+        path = self.conf.get("devices_path")
+        if inline is None and dev_df is None and path:
+            inline = _load_wurfl_devices(path)
         if inline is None and dev_df is None:
             raise ValueError(
                 "wurfl: a device snapshot is required (devices / "
-                "devices_df) — the live commercial WURFL service is "
-                "rejected by design (dns/memcached precedent)")
+                "devices_df / devices_path wurfl.xml|.json) — the live "
+                "commercial WURFL service is rejected by design "
+                "(dns/memcached precedent)")
         if inline is None:
             inline = [
                 {"device_id": r["device_id"], "user_agent": r["user_agent"],

@@ -754,3 +754,34 @@ def test_wurfl_match_series_fuzz_vs_naive():
                 (ua, sorted(pats), g, best)
 
     check()
+
+
+def test_wurfl_devices_path_xml_reference_format(spark, tmp_path):
+    """devices_path accepts the reference's own wurfl.xml layout
+    (<device id user_agent fall_back><group><capability name value>);
+    'root' fall_back marks the hierarchy root as in the real DB."""
+    xml = """<?xml version="1.0"?>
+<wurfl><version>test</version><devices>
+  <device id="generic" user_agent="" fall_back="root">
+    <group id="product_info">
+      <capability name="is_mobile" value="false"/>
+      <capability name="pointing_method" value="mouse"/>
+    </group>
+  </device>
+  <device id="generic_mobile" user_agent="Mobile" fall_back="generic">
+    <group id="product_info">
+      <capability name="is_mobile" value="true"/>
+    </group>
+  </device>
+</devices></wurfl>"""
+    p = tmp_path / "wurfl.xml"
+    p.write_text(xml)
+    df = spark.createDataFrame([(1, "Mobile Safari"), (2, "curl/8")],
+                               "id int, ua string")
+    out = {r.id: r for r in apply_stage(df, {"wurfl": {
+        "source": "ua", "devices_path": str(p),
+        "capabilities": ["is_mobile", "pointing_method"]}}).collect()}
+    assert out[1].wurfl.device_id == "generic_mobile"
+    assert out[1].wurfl.is_mobile == "true"
+    assert out[1].wurfl.pointing_method == "mouse"  # inherited
+    assert out[2].wurfl is None  # generic has empty UA pattern -> no match
