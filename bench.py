@@ -170,10 +170,19 @@ def main():
     timings = {name: min(ts) for name, ts in readings.items()}
 
     extra["flagship_docs_per_sec"] = round(N_PAGES / timings["flagship_e2e"], 1)
-    fat_mb = sum(
-        os.path.getsize(os.path.join(fat_path, f))
-        for f in os.listdir(fat_path) if f.endswith(".parquet")
+    # MB basis = UNCOMPRESSED html bytes (codec-invariant): on-disk
+    # parquet size varies 3× between a zstd- and snappy-staged corpus
+    # of identical logical data, which silently rescaled MB/s across
+    # rounds. The corpus is seed-deterministic, so this basis is
+    # comparable across all rounds.
+    from pyspark.sql import functions as _F
+
+    fat_mb = (
+        spark.read.parquet(fat_path)
+        .select(_F.sum(_F.octet_length("html")))
+        .collect()[0][0]
     ) / 1e6
+    extra["fatpages_html_mb"] = round(fat_mb, 1)
     extra["fatpages_docs_per_sec"] = round(N_FAT / timings["flagship_e2e_fatpages"], 1)
     extra["fatpages_mb_per_sec"] = round(fat_mb / timings["flagship_e2e_fatpages"], 2)
     extra["apache_events_per_sec"] = round(N_LOGS / timings["apache_grok_complex"], 1)

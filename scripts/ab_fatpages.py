@@ -72,6 +72,9 @@ def main() -> None:
             readings.setdefault(key, []).append(dt)
             print(f"trial {t} {key}: {dt}s", file=sys.stderr)
 
+    # on-disk parquet bytes: codec-dependent, used only for
+    # RELATIVE throughput within this run (basis cancels out);
+    # bench.py's headline MB/s uses uncompressed html bytes
     fat_mb = sum(
         os.path.getsize(os.path.join(fat_path, f))
         for f in os.listdir(fat_path)

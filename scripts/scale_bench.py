@@ -112,6 +112,9 @@ def main():
             SparkContext._gateway = None
             SparkContext._jvm = None
 
+    # on-disk parquet bytes: codec-dependent, used only for
+    # RELATIVE throughput within this run (basis cancels out);
+    # bench.py's headline MB/s uses uncompressed html bytes
     total_bytes = sum(
         os.path.getsize(os.path.join(pages_path, f))
         for f in os.listdir(pages_path) if f.endswith(".parquet")
