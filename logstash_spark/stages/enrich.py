@@ -783,6 +783,119 @@ class JdbcStreamingStage(Stage):
             )
         return out, F.col("__matched")
 
+    @staticmethod
+    def _balanced(text: str) -> bool:
+        depth = 0
+        for c in text:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth < 0:
+                    return False
+        return depth == 0
+
+    @staticmethod
+    def _rewrite_param_conjuncts(statement: str,
+                                 key_cols: list[str]) -> tuple[dict, str]:
+        """Validate + rewrite for the degraded regime: each ``:param``
+        must sit in a TOP-LEVEL AND CONJUNCT of the WHERE clause of the
+        exact form ``col = :param`` (or reversed, optionally wrapped in
+        redundant parens). Only then does replacing the conjunct with
+        ``1=1`` and re-applying the equality as a join predicate give
+        the same rows as the fast path's per-tuple execution — a param
+        equality under OR/NOT (``code = :c OR vip = 1``) contributes
+        rows NOT keyed by the param, which a join on the hoisted column
+        would silently drop. Returns ({param: col_ident}, rewritten);
+        raises ValueError(why) for non-qualifying shapes.
+
+        The scan is quote-aware (``'...'`` strings with ``''`` escapes,
+        ``"..."`` identifiers) and paren-depth-aware, so ``AND``/
+        ``WHERE`` inside literals or subexpressions never split."""
+        import re as _re
+
+        n = len(statement)
+        top = [False] * n  # top-level: depth 0, outside quotes
+        depth, i, in_sq, in_dq = 0, 0, False, False
+        while i < n:
+            c = statement[i]
+            if in_sq:
+                if c == "'":
+                    if i + 1 < n and statement[i + 1] == "'":
+                        i += 2
+                        continue
+                    in_sq = False
+            elif in_dq:
+                if c == '"':
+                    in_dq = False
+            else:
+                if c == "'":
+                    in_sq = True
+                elif c == '"':
+                    in_dq = True
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                else:
+                    top[i] = depth == 0
+            i += 1
+
+        def _top_matches(pat: str, start: int, end: int):
+            return [m for m in _re.finditer(pat, statement[start:end],
+                                            _re.I)
+                    if all(top[start + j] for j in range(m.start(),
+                                                         m.end()))]
+
+        wheres = _top_matches(r"\bWHERE\b", 0, n)
+        if len(wheres) != 1:
+            raise ValueError(
+                "params must bind in a single top-level WHERE clause")
+        w_start = wheres[0].end()
+        tails = _top_matches(
+            r"\b(ORDER\s+BY|LIMIT|OFFSET|FETCH)\b", w_start, n)
+        w_end = (w_start + tails[0].start()) if tails else n
+
+        # conjunct spans: WHERE body split at top-level ANDs
+        ands = _top_matches(r"\bAND\b", w_start, w_end)
+        bounds = [w_start]
+        for m in ands:
+            bounds += [w_start + m.start(), w_start + m.end()]
+        bounds.append(w_end)
+        spans = [(bounds[i], bounds[i + 1])
+                 for i in range(0, len(bounds), 2)]
+
+        ident = r'(?:"[\w.]+"|[\w.]+)'
+        idents: dict[str, str] = {}
+        replace: dict[str, tuple[int, int]] = {}
+        for p in key_cols:
+            eq = _re.compile(
+                rf"({ident})\s*=\s*:{p}\Z|:{p}\s*=\s*({ident})\Z")
+            hits = []
+            for a, b in spans:
+                text = statement[a:b].strip()
+                # unwrap redundant BALANCED outer parens: (a = :x)
+                while (text.startswith("(") and text.endswith(")")
+                       and JdbcStreamingStage._balanced(text[1:-1])):
+                    text = text[1:-1].strip()
+                m = eq.fullmatch(text)
+                if m:
+                    hits.append(((a, b), m.group(1) or m.group(2)))
+            if len(hits) != 1:
+                raise ValueError(
+                    f":{p} must appear exactly once as a top-level "
+                    f"`col = :{p}` AND-conjunct of the WHERE clause "
+                    f"(found {len(hits)} qualifying conjuncts)")
+            replace[p], idents[p] = hits[0]
+
+        out, last = [], 0
+        for a, b in sorted(replace.values()):
+            out.append(statement[last:a])
+            out.append(" 1=1 ")
+            last = b
+        out.append(statement[last:])
+        return idents, "".join(out)
+
     def _transform_degraded(self, df, spark, statement, sql, order,
                             parameters, key_cols, keys_df, target,
                             url, driver, max_distinct):
@@ -819,22 +932,15 @@ class JdbcStreamingStage(Stage):
         if up.count("SELECT") != 1:
             raise _unsupported("nested SELECT")
 
-        # locate each param's `col = :param` (or reversed) conjunct
-        idents: dict[str, str] = {}
-        rewritten = statement
-        for p in key_cols:
-            pat = _re.compile(
-                r'("[\w.]+"|[\w.]+)\s*=\s*:' + p + r'\b'
-                r'|:' + p + r'\b\s*=\s*("[\w.]+"|[\w.]+)'
-            )
-            ms = list(pat.finditer(rewritten))
-            if len(ms) != 1:
-                raise _unsupported(
-                    f":{p} must appear exactly once as a top-level "
-                    f"`col = :{p}` equality (found {len(ms)})"
-                )
-            idents[p] = ms[0].group(1) or ms[0].group(2)
-            rewritten = pat.sub("1=1", rewritten, count=1)
+        # locate each param's `col = :param` conjunct — TOP-LEVEL AND
+        # conjuncts of the WHERE clause only (quote/paren-aware): a
+        # param equality under OR/NOT contributes rows not keyed by the
+        # param, which the join-back would silently drop
+        try:
+            idents, rewritten = self._rewrite_param_conjuncts(
+                statement, key_cols)
+        except ValueError as e:
+            raise _unsupported(str(e)) from None
         if _re.search(r":\w+", rewritten):
             raise _unsupported("a :param is used outside an equality conjunct")
 

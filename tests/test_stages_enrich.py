@@ -353,6 +353,66 @@ def test_jdbc_streaming_degrades_to_static_plan_above_guard(spark, tmp_path):
     assert sorted(s.name for s in s_rows[5].host_info) == ["srv5", "srv5b"]
 
 
+def test_jdbc_streaming_degraded_conjunct_validation():
+    """The degraded rewrite may lift a param equality ONLY when it is a
+    top-level AND conjunct of the WHERE clause: `code = :c OR vip = 1`
+    returns vip rows for EVERY tuple in the fast path, but a join on
+    the hoisted column would silently drop them — such shapes must keep
+    the loud guard error, never silently diverge."""
+    from logstash_spark.stages.enrich import JdbcStreamingStage
+
+    rw = JdbcStreamingStage._rewrite_param_conjuncts
+    # qualifying shapes
+    ids, out = rw('SELECT "v" FROM t WHERE "k" = :k', ["k"])
+    assert ids == {"k": '"k"'}
+    assert ":k" not in out and "1=1" in out
+    ids, out = rw("SELECT v FROM t WHERE a = 1 AND :k = k ORDER BY v", ["k"])
+    assert ids["k"] == "k" and out.rstrip().endswith("ORDER BY v")
+    assert "a = 1" in out
+    ids, out = rw("SELECT v FROM t WHERE (k = :k) AND (x = 1 OR y = 2)",
+                  ["k"])
+    assert ids["k"] == "k" and "(x = 1 OR y = 2)" in out and ":k" not in out
+    # two params, reversed order in the statement
+    ids, out = rw("SELECT v FROM t WHERE b = :q AND a = :p", ["p", "q"])
+    assert ids == {"p": "a", "q": "b"} and ":p" not in out and ":q" not in out
+    # AND inside a string literal must not split conjuncts
+    ids, out = rw("SELECT v FROM t WHERE s = 'x AND y' AND k = :k", ["k"])
+    assert "'x AND y'" in out and ":k" not in out
+    # disqualifying shapes → ValueError (surfaces as the guard error)
+    for stmt in [
+        "SELECT v FROM t WHERE k = :k OR vip = 1",      # OR sibling
+        "SELECT v FROM t WHERE NOT (k = :k)",           # negated
+        "SELECT v FROM t WHERE (k = :k OR b = 1) AND c = 2",  # nested OR
+        "SELECT v FROM t JOIN u ON u.k = :k",           # no WHERE
+        "SELECT v FROM t WHERE k = :k AND k = :k",      # twice
+        "SELECT v FROM t WHERE k > :k",                 # non-equality
+    ]:
+        with pytest.raises(ValueError):
+            rw(stmt, ["k"])
+
+
+def test_jdbc_streaming_degraded_or_statement_errors_loudly(spark, tmp_path):
+    """Integration: an OR-shaped statement above the guard raises the
+    documented 'does not qualify' error instead of silently returning
+    different rows than the fast path."""
+    url = f"jdbc:derby:{tmp_path}/js_db_or;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "k int, v string, vip int"
+    ).write.mode("overwrite").format("jdbc").options(
+        url=url, dbtable="t_or", driver=driver,
+        createTableColumnTypes="k INTEGER, v VARCHAR(16), vip INTEGER",
+    ).save()
+    df = spark.createDataFrame([(i, str(i)) for i in range(6)],
+                               "id int, key string")
+    with pytest.raises(ValueError, match="does not qualify"):
+        apply_stage(df, {"jdbc_streaming": {
+            "jdbc_connection_string": url, "jdbc_driver_class": driver,
+            "statement": 'SELECT "v" FROM t_or WHERE "k" = :k OR "vip" = 1',
+            "parameters": {"k": "key"}, "target": "r",
+            "max_distinct_params": 2}})
+
+
 def test_jdbc_streaming_unbindable_param_is_miss_not_abort(spark, tmp_path):
     """A value that cannot bind to the numeric parameter type is a
     lookup MISS for that tuple (reference: the event just gets no rows /
