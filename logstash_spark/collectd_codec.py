@@ -156,13 +156,8 @@ def encode_datagram(events: list[dict]) -> bytes:
 
 
 def read_collectd(spark, path: str, streaming: bool = False):
-    reader = spark.readStream if streaming else spark.read
-    binf = reader.format("binaryFile")
-    if streaming:
-        binf = binf.schema(
-            "path string, modificationTime timestamp, length long, content binary"
-        )
-    files = binf.load(path)
-    return files.select("content").mapInPandas(
+    from .binfile import binary_content
+
+    return binary_content(spark, path, streaming).mapInPandas(
         decode_frames, schema=COLLECTD_SCHEMA
     )

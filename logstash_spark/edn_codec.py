@@ -178,9 +178,22 @@ def read_form(s: str, pos: int):
             items, pos = _read_seq(s, pos + 2, "}")
             return items, pos
         if pos + 1 < len(s) and s[pos + 1] == "_":  # discard next form
+            # stacked discards (`#_ #_ a b`) discard one VALUE each: if
+            # the following form is itself a discard, keep reading until
+            # an actual value has been consumed (edn-format.org)
             pos = _skip_ws(s, pos + 2)
-            _, pos = read_form(s, pos)
+            v, pos = read_form(s, pos)
+            while v is _DISCARDED:
+                pos = _skip_ws(s, pos)
+                v, pos = read_form(s, pos)
             return _DISCARDED, pos
+        if pos + 1 < len(s) and s[pos + 1] == "#":  # ## symbolic value
+            tok, pos = _read_token(s, pos + 2)
+            sym = {"Inf": float("inf"), "-Inf": float("-inf"),
+                   "NaN": float("nan")}.get(tok)
+            if sym is None:
+                raise EdnError(f"unknown symbolic value ##{tok}")
+            return sym, pos
         tag, pos = _read_token(s, pos + 1)
         pos = _skip_ws(s, pos)
         val, pos = read_form(s, pos)
@@ -239,11 +252,6 @@ def read_edn(spark, path: str, streaming: bool = False):
                     rows.append((text, [FAILURE_TAG, str(e)[:120]]))
             yield pd.DataFrame(rows, columns=["message", "tags"])
 
-    reader = spark.readStream if streaming else spark.read
-    binf = reader.format("binaryFile")
-    if streaming:
-        binf = binf.schema(
-            "path string, modificationTime timestamp, length long, content binary"
-        )
-    files = binf.load(path)
-    return files.select("content").mapInPandas(_decode, schema=EDN_SCHEMA)
+    from .binfile import binary_content
+
+    return binary_content(spark, path, streaming).mapInPandas(_decode, schema=EDN_SCHEMA)

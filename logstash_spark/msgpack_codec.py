@@ -193,14 +193,9 @@ def read_msgpack(spark, path: str, streaming: bool = False):
                     rows.append((payload.hex(), [FAILURE_TAG, str(e)[:120]]))
             yield pd.DataFrame(rows, columns=["message", "tags"])
 
-    reader = spark.readStream if streaming else spark.read
-    binf = reader.format("binaryFile")
-    if streaming:
-        binf = binf.schema(
-            "path string, modificationTime timestamp, length long, content binary"
-        )
-    files = binf.load(path)
-    return files.select("content").mapInPandas(_decode, schema=MSGPACK_SCHEMA)
+    from .binfile import binary_content
+
+    return binary_content(spark, path, streaming).mapInPandas(_decode, schema=MSGPACK_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -265,23 +260,26 @@ def read_fluent(spark, path: str, streaming: bool = False):
             rows = []
             for raw in pdf["content"]:
                 payload = bytes(raw)
+                # decode the WHOLE payload before emitting anything: a
+                # malformed later frame must yield ONE error row, not
+                # the earlier frames' events PLUS an error row carrying
+                # the same bytes (double-represented data)
+                decoded = []
                 try:
                     for frame in unpack_stream(payload):
                         tag, entries = _fluent_entries(frame)
                         for t, rec in entries:
-                            rows.append((tag, _fluent_time(t),
-                                         json.dumps(rec, sort_keys=True), None))
+                            decoded.append((tag, _fluent_time(t),
+                                            json.dumps(rec, sort_keys=True),
+                                            None))
                 except Exception as e:
                     rows.append((None, None, payload.hex(),
                                  [FLUENT_FAILURE_TAG, str(e)[:120]]))
+                else:
+                    rows.extend(decoded)
             yield pd.DataFrame(
                 rows, columns=["tag", "fluent_time", "message", "tags"])
 
-    reader = spark.readStream if streaming else spark.read
-    binf = reader.format("binaryFile")
-    if streaming:
-        binf = binf.schema(
-            "path string, modificationTime timestamp, length long, content binary"
-        )
-    files = binf.load(path)
-    return files.select("content").mapInPandas(_decode, schema=FLUENT_SCHEMA)
+    from .binfile import binary_content
+
+    return binary_content(spark, path, streaming).mapInPandas(_decode, schema=FLUENT_SCHEMA)

@@ -143,11 +143,6 @@ def encode_v5_datagram(
 
 def read_netflow(spark, path: str, streaming: bool = False):
     """binaryFile scan → vectorized decode; one row per flow record."""
-    reader = spark.readStream if streaming else spark.read
-    binf = reader.format("binaryFile")
-    if streaming:
-        binf = binf.schema(
-            "path string, modificationTime timestamp, length long, content binary"
-        )
-    files = binf.load(path)
-    return files.select("content").mapInPandas(decode_frames, schema=NETFLOW_SCHEMA)
+    from .binfile import binary_content
+
+    return binary_content(spark, path, streaming).mapInPandas(decode_frames, schema=NETFLOW_SCHEMA)

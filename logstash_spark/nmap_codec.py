@@ -131,11 +131,6 @@ def read_nmap(spark, path: str, streaming: bool = False, **emit_opts):
                                      tags=[FAILURE_TAG, str(e)[:120]]))
             yield pd.DataFrame(rows, columns=_COLS)
 
-    reader = spark.readStream if streaming else spark.read
-    binf = reader.format("binaryFile")
-    if streaming:
-        binf = binf.schema(
-            "path string, modificationTime timestamp, length long, content binary"
-        )
-    files = binf.load(path)
-    return files.select("content").mapInPandas(_decode, schema=NMAP_SCHEMA)
+    from .binfile import binary_content
+
+    return binary_content(spark, path, streaming).mapInPandas(_decode, schema=NMAP_SCHEMA)

@@ -60,9 +60,16 @@ def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         result |= (b & 0x7F) << shift
         if not (b & 0x80):
+            if result >> 64:
+                # wire spec: a varint carries at most 64 bits (a valid
+                # 10th byte is <= 0x01). Anything bigger is corrupt —
+                # reject HERE so it becomes a per-payload error row;
+                # letting it through overflows the Arrow int64 column
+                # during batch serialization and aborts the whole task
+                raise ValueError("varint exceeds 64 bits")
             return result, pos
         shift += 7
-        if shift > 70:
+        if shift >= 70:  # 11th byte needed → malformed
             raise ValueError("varint too long")
 
 
@@ -297,11 +304,6 @@ def read_protobuf(spark, path: str, wire_schema: dict,
                                  "error": f"{type(e).__name__}: {e}"})
             yield pd.DataFrame(rows, columns=names + ["error"])
 
-    reader = spark.readStream if streaming else spark.read
-    binf = reader.format("binaryFile")
-    if streaming:
-        binf = binf.schema(
-            "path string, modificationTime timestamp, length long, content binary"
-        )
-    files = binf.load(path)
-    return files.select("content").mapInPandas(_decode, schema=ddl)
+    from .binfile import binary_content
+
+    return binary_content(spark, path, streaming).mapInPandas(_decode, schema=ddl)

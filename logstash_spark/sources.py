@@ -327,14 +327,10 @@ def _read_avro(
                     {n: [r.get(n) for r in rows] for n in field_names}
                 )
 
-    binf = reader.format("binaryFile")
-    if streaming:
-        # streaming binaryFile needs its (fixed) schema declared
-        binf = binf.schema(
-            "path string, modificationTime timestamp, length bigint, content binary"
-        )
-    files = binf.option("pathGlobFilter", "*.avro").load(path)
-    return files.select("content").mapInPandas(decode_files, schema=ddl)
+    from .binfile import binary_content
+
+    return binary_content(spark, path, streaming,
+                          glob="*.avro").mapInPandas(decode_files, schema=ddl)
 
 
 def _read_es_bulk(spark: SparkSession, path: str, streaming: bool) -> DataFrame:
@@ -407,13 +403,10 @@ def _read_es_bulk(spark: SparkSession, path: str, streaming: bool) -> DataFrame:
                 rows, columns=["action", "index", "doc_id", "source", "error"]
             )
 
-    reader = spark.readStream if streaming else spark.read
-    binf = reader.format("binaryFile")
-    if streaming:
-        binf = binf.schema(
-            "path string, modificationTime timestamp, length long, content binary"
-        )
-    return binf.load(path).select("content").mapInPandas(decode, schema=schema)
+    from .binfile import binary_content
+
+    return binary_content(spark, path, streaming).mapInPandas(decode,
+                                                              schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -436,7 +429,7 @@ def _as_clause_list(x) -> list:
     return list(x) if isinstance(x, (list, tuple)) else [x]
 
 
-def _es_query_to_pred(q: dict):
+def _es_query_to_pred(q: dict, id_col: str = "_id"):
     """ES query-DSL subset → Catalyst Column predicate. Supported:
     match_all / term / terms / exists / range(gt,gte,lt,lte) /
     bool(must,filter,should,must_not). Anything else is a loud error —
@@ -480,7 +473,9 @@ def _es_query_to_pred(q: dict):
             pred = pred & p
         return pred
     if kind == "ids":
-        return F.col("_id").isin([str(v) for v in body["values"]])
+        # the export's id column is configurable (`id_column`), same
+        # knob the docinfo path honors — _id is only the default name
+        return F.col(id_col).isin([str(v) for v in body["values"]])
     if kind == "prefix":
         (fld, v), = body.items()
         if isinstance(v, dict):
@@ -501,13 +496,22 @@ def _es_query_to_pred(q: dict):
             for ch in str(v))
         return F.col(fld).rlike(f"\\A(?s){pat}\\z")
     if kind == "bool":
+        unknown = set(body) - {"must", "filter", "should", "must_not",
+                               "minimum_should_match", "boost"}
+        if unknown:
+            # a typo'd occurrence key silently widening the result set is
+            # exactly the returns-MORE-rows hazard this translator bars
+            raise SourceError(
+                f"elasticsearch bool: unsupported keys {sorted(unknown)} "
+                "(supported: must/filter/should/must_not/"
+                "minimum_should_match)")
         pred = F.lit(True)
-        must = [_es_query_to_pred(sub)
+        must = [_es_query_to_pred(sub, id_col)
                 for clause in ("must", "filter")
                 for sub in _as_clause_list(body.get(clause))]
         for p in must:
             pred = pred & p
-        should = [_es_query_to_pred(sub)
+        should = [_es_query_to_pred(sub, id_col)
                   for sub in _as_clause_list(body.get("should"))]
         if should:
             # ES default: should is OPTIONAL when must/filter are
@@ -541,7 +545,7 @@ def _es_query_to_pred(q: dict):
                     hits = h if hits is None else hits + h
                 pred = pred & (hits >= F.lit(msm))
         for sub in _as_clause_list(body.get("must_not")):
-            p = _es_query_to_pred(sub)
+            p = _es_query_to_pred(sub, id_col)
             # ES must_not is a filter-context exclusion: a row matches
             # unless the clause POSITIVELY matches (null ≠ match)
             pred = pred & ~F.coalesce(p, F.lit(False))
@@ -586,7 +590,8 @@ def _read_elasticsearch(spark: SparkSession, args: dict,
                 "clause lists in a bool query")
         # the reference wraps the clause in {"query": ...} sometimes
         query = query.get("query", query)
-        df = df.where(_es_query_to_pred(query))
+        df = df.where(_es_query_to_pred(
+            query, args.get("id_column", "_id")))
     if args.get("docinfo"):
         # logstash-input-elasticsearch docinfo: hit metadata under
         # @metadata (we surface _index and _id; _id from `id_column`

@@ -1173,8 +1173,9 @@ class MemcachedStage(Stage):
     GET values from memcached into event fields:
     ``get => {"key-template" => "event_field"}`` where the key template
     supports ``%{field}`` sprintf interpolation; ``namespace`` prefixes
-    every key with ``"<namespace>:"``; hits tag ``tag_on_success``
-    (reference default none), misses leave the field unset.
+    every key with ``"<namespace>:"``; full-hit rows tag
+    ``tag_on_success`` (reference default none), misses leave the
+    field unset (``tag_on_miss`` is our diagnostic extension).
 
     Spark re-expression — same deliberate deviation as dns/translate:
     per-event network I/O against a live cache inside a distributed job
@@ -1193,7 +1194,7 @@ class MemcachedStage(Stage):
 
     def _targets(self, df: DataFrame) -> list[str] | None:
         out = [field_name(t) for t in self.conf.get("get", {}).values()]
-        if self.conf.get("tag_on_miss"):
+        if self.conf.get("tag_on_miss") or self.conf.get("tag_on_success"):
             out.append("tags")
         return out
 
@@ -1263,6 +1264,11 @@ class MemcachedStage(Stage):
         if tag_miss:
             df = add_tags(df, [tag_miss] if isinstance(tag_miss, str)
                           else list(tag_miss), ~F.col("__matched"))
+        # reference option: tag rows where EVERY get hit (default none)
+        tag_ok = self.conf.get("tag_on_success")
+        if tag_ok:
+            df = add_tags(df, [tag_ok] if isinstance(tag_ok, str)
+                          else list(tag_ok), F.col("__matched"))
         out_matched = F.col("__matched")
         return df, out_matched
 

@@ -319,10 +319,19 @@ class SleepStage(Stage):
 
             m = _re.fullmatch(r"%\{([^}]+)\}", conf_time.strip())
             if m:
-                time_field = field_name(m.group(1))
-                if time_field not in df.columns:
+                from ..fieldref import field_col
+
+                if field_name(m.group(1)) not in df.columns:
                     raise ValueError(
-                        f"sleep: time field [{time_field}] not in schema")
+                        f"sleep: time field [{m.group(1)}] not in schema")
+                # project the referenced VALUE (field_col resolves nested
+                # [a][b] struct paths; the bare top-level column would
+                # coerce a struct to NaN and silently sleep 0) into a
+                # numeric helper column the batch pacer can sum directly
+                time_field = "__sleep_t"
+                df = df.withColumn(
+                    time_field,
+                    field_col(m.group(1)).try_cast("double"))
             else:
                 conf_time = float(conf_time)
 
@@ -333,14 +342,13 @@ class SleepStage(Stage):
 
             for pdf in batches:
                 if time_field is not None:
-                    import pandas as _pd
-
-                    total = float(
-                        _pd.to_numeric(pdf[time_field], errors="coerce")
-                        .fillna(0.0).sum())
+                    total = float(pdf[time_field].fillna(0.0).sum())
                 else:
                     total = float(conf_time) * len(pdf)
                 _t.sleep(min(total / every, 300.0))  # runaway guard
                 yield pdf
 
-        return df.mapInPandas(_pace, schema=schema), None
+        out = df.mapInPandas(_pace, schema=schema)
+        if time_field is not None:
+            out = out.drop(time_field)
+        return out, None

@@ -40,6 +40,23 @@ def test_edn_keywords_symbols_tags_discard_comments():
     ]
 
 
+def test_edn_stacked_discard_and_symbolic_values():
+    # edn-format.org: each #_ discards one VALUE, so stacked discards
+    # compose — `#_ #_ 1 2 3` is the single form 3
+    assert read_stream("#_ #_ 1 2 3") == [3]
+    assert read_stream("#_#_ 1 2 3") == [3]
+    assert read_stream("[1 #_ #_ 2 3 4]") == [[1, 4]]
+    with pytest.raises(EdnError):  # stacked discard starving at EOF
+        read_stream("#_ #_ 1")
+    # ## symbolic values are legal scalars, not parse failures
+    inf, ninf, nan = read_stream("##Inf ##-Inf ##NaN")
+    assert inf == float("inf") and ninf == float("-inf")
+    assert nan != nan  # NaN
+    assert read_stream("{:x ##Inf}") == [{"x": float("inf")}]
+    with pytest.raises(EdnError):
+        read_stream("##Bogus")
+
+
 def test_edn_errors():
     for bad in ('"unterminated', "{:odd}", "[1 2", "#{1", "\\bogusname",
                 # corrupt shapes that used to escape as bare

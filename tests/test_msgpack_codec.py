@@ -151,6 +151,32 @@ def test_fluent_modes(spark, tmp_path):
     assert len(bad) == 1 and FLUENT_FAILURE_TAG in bad[0].tags
 
 
+def test_fluent_partial_payload_is_one_error_row(spark, tmp_path):
+    """A payload whose LATER frame/entry is malformed must produce ONE
+    error row for the whole payload — not the earlier frames' events
+    plus an error row embedding the same bytes (double-represented
+    data on replay/count)."""
+    from logstash_spark.msgpack_codec import FLUENT_FAILURE_TAG, read_fluent
+
+    def arr(items: list[bytes]) -> bytes:
+        return bytes([0x90 | len(items)]) + b"".join(items)
+
+    def u32(v: int) -> bytes:
+        return bytes([0xCE]) + struct.pack(">I", v)
+
+    rec = fixmap([fixstr("msg") + fixstr("hello")])
+    good_frame = arr([fixstr("ok.tag"), u32(1), rec])
+    # EventTime ext with a 5-byte body (must be 8) → decode error
+    bad_time = bytes([0xC7, 5, 0x00]) + b"\x00" * 5
+    bad_frame = arr([fixstr("bad.tag"), bad_time, rec])
+    d = tmp_path / "fl_partial"
+    d.mkdir()
+    (d / "x.bin").write_bytes(good_frame + bad_frame)
+    rows = read_fluent(spark, str(d)).collect()
+    assert len(rows) == 1
+    assert rows[0].tag is None and FLUENT_FAILURE_TAG in rows[0].tags
+
+
 def test_timestamp_out_of_range_is_msgpack_error():
     """The 96-bit timestamp form carries a full int64 of seconds; values
     datetime can't represent must raise MsgpackError (→ failure row),

@@ -194,6 +194,23 @@ def test_uint64_fixed64_high_bit_reinterpreted_as_signed_long():
     assert d["pf"] == [-(1 << 63)]
 
 
+def test_overlong_varint_raises_for_error_row():
+    """A varint carrying more than 64 bits is corrupt per the wire spec
+    (a valid 10th byte is <= 0x01). It must raise inside the per-payload
+    try — a ~2^70 Python int would otherwise overflow the Arrow int64
+    column at batch serialization and abort the task."""
+    schema = {1: ("h", "uint64")}
+    # 10 bytes with a large final byte → ~2^70
+    with pytest.raises(ValueError, match="exceeds 64 bits"):
+        decode_message(tag(1, 0) + b"\xff" * 9 + b"\x7f", schema)
+    # 11+ continuation bytes → malformed length
+    with pytest.raises(ValueError, match="varint too long"):
+        decode_message(tag(1, 0) + b"\xff" * 11 + b"\x01", schema)
+    # the boundary stays valid: uint64 max is exactly 10 bytes, 10th 0x01
+    d = decode_message(tag(1, 0) + b"\xff" * 9 + b"\x01", schema)
+    assert d["h"] == -1  # 2^64-1 reinterpreted as signed long
+
+
 def test_wire_type_mismatch_raises_for_error_row():
     """A varint arriving for a declared string field (etc.) must raise —
     silently storing an int in a string column poisons the Arrow batch

@@ -635,6 +635,27 @@ def test_es_input_msm_negative_percent_and_query_type_guard(spark):
             "snapshot_df": snap, "query": '[{"term": {"a": 1}}]'})
 
 
+def test_es_input_bool_unknown_key_and_ids_id_column(spark):
+    snap = _es_snapshot(spark)
+    # a typo'd occurrence key must be a LOUD error, not silently ignored
+    # (ignoring it returns every row — the returns-MORE-rows hazard)
+    with pytest.raises(SourceError, match="unsupported keys.*filter_"):
+        resolve_input(spark, "elasticsearch", {
+            "snapshot_df": snap,
+            "query": {"bool": {"filter_": [{"term": {"user": "bob"}}]}}})
+    # ids honors the configurable id_column, like the docinfo path
+    renamed = snap.withColumnRenamed("_id", "doc_id")
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": renamed, "id_column": "doc_id",
+        "query": {"ids": {"values": ["d2", "d3"]}}})
+    assert sorted(r.doc_id for r in df.collect()) == ["d2", "d3"]
+    # and nested under bool the id_column still reaches the ids clause
+    df = resolve_input(spark, "elasticsearch", {
+        "snapshot_df": renamed, "id_column": "doc_id",
+        "query": {"bool": {"filter": [{"ids": {"values": ["d1"]}}]}}})
+    assert [r.doc_id for r in df.collect()] == ["d1"]
+
+
 def test_es_input_wildcard_is_exact_value_anchored(spark):
     # Java's $ matches before a trailing newline; \z must not
     snap = spark.createDataFrame([("d1", "bob"), ("d2", "bob\n")],

@@ -604,6 +604,13 @@ def test_memcached_get_snapshot(spark):
     assert {r.id: r.role for r in out2.collect()} == \
         {r.id: r.role for r in out.collect()}
 
+    # reference option tag_on_success: tags rows where every get hit
+    out3 = apply_stage(df, {"memcached": {**conf,
+                                          "tag_on_success": "mc_hit"}})
+    rows3 = {r.id: r for r in out3.collect()}
+    assert "mc_hit" in rows3[1].tags and "mc_hit" in rows3[2].tags
+    assert "mc_hit" not in (rows3[3].tags or []) and "_mc_miss" in rows3[3].tags
+
     import pytest
     with pytest.raises(ValueError, match="side effect"):
         apply_stage(df, {"memcached": {**conf, "set": {"role": "k"}}})

@@ -219,3 +219,19 @@ def test_sleep_every_and_field_time(spark):
     assert "mapInPandas" not in noop._jdf.queryExecution().executedPlan().toString()
     with pytest.raises(ValueError, match="not in schema"):
         apply_stage(df, {"sleep": {"time": "%{nope}"}})
+
+
+def test_sleep_nested_field_time(spark):
+    """A nested `%{[a][b]}` time reference must resolve the struct PATH —
+    the bare top-level column is a struct, coerces to NaN, and would
+    silently sleep 0."""
+    import time as _t
+
+    df = spark.createDataFrame(
+        [(1, (0.3, "x")), (2, (0.3, "y"))],
+        "id int, metrics struct<delay:double, name:string>").coalesce(1)
+    out = apply_stage(df, {"sleep": {"time": "%{[metrics][delay]}"}})
+    assert out.columns == ["id", "metrics"]  # helper column dropped
+    t0 = _t.monotonic()
+    assert out.count() == 2
+    assert _t.monotonic() - t0 >= 0.6
