@@ -46,22 +46,35 @@ class PipelineGraph:
         self.specs = []
         self.sends: dict[str, list[str]] = {}
         self.listens: dict[str, str] = {}
+        # addr → [(sender pid, sink name)] — one entry PER send_to
+        # occurrence (a pid may feed an address from several branches)
+        self.sender_sinks: dict[str, list[tuple[str, str]]] = {}
         ids = []
         for s in specs:
             s = dict(s)
             pid = s.get("id", "main")
             ids.append(pid)
             outs = []
+            seen_addr: dict[str, int] = {}
             for o in s.get("outputs", []):
                 if "pipeline" in o:
                     addrs = o["pipeline"]["send_to"]
                     addrs = [addrs] if isinstance(addrs, str) else list(addrs)
                     for a in addrs:
-                        sink = {"name": P2P_PREFIX + a}
+                        # several output entries may send to the SAME
+                        # address (PipelineBus merges them) — each needs
+                        # its own sink name/path, else they'd clobber
+                        # each other's bucket partitions concurrently
+                        k = seen_addr.get(a, 0)
+                        seen_addr[a] = k + 1
+                        name = P2P_PREFIX + a + (f"__{k + 1}" if k else "")
+                        sink = {"name": name}
                         if o.get("when"):
                             sink["when"] = o["when"]
                         outs.append(sink)
                         self.sends.setdefault(pid, []).append(a)
+                        self.sender_sinks.setdefault(a, []).append(
+                            (pid, name))
                 else:
                     outs.append(o)
             s["outputs"] = outs
@@ -74,7 +87,8 @@ class PipelineGraph:
         self.writers: dict[str, list[str]] = {}
         for pid, addrs in self.sends.items():
             for a in addrs:
-                self.writers.setdefault(a, []).append(pid)
+                if pid not in self.writers.setdefault(a, []):
+                    self.writers[a].append(pid)
         missing = [
             (pid, a) for pid, a in self.listens.items() if a not in self.writers
         ]
@@ -118,17 +132,24 @@ class PipelineGraph:
             if pid in self.listens:
                 addr = self.listens[pid]
                 frames = []
-                for w in self.writers[addr]:
+                for w, sink_name in self.sender_sinks[addr]:
                     # a sender whose `when` matched zero rows this batch
                     # writes no parquet parts (only _SUCCESS) — an empty
                     # stream is legal PipelineBus behavior, so skip the
                     # unreadable path rather than crash on schema inference
                     try:
                         frames.append(
-                            spark.read.parquet(f"{run_dir}/{w}/{P2P_PREFIX}{addr}")
+                            spark.read.parquet(f"{run_dir}/{w}/{sink_name}")
                         )
                     except Exception as e:
-                        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                        # structured condition first, message substring as
+                        # the fallback (router._write_catalog_table stance)
+                        cond = (e.getCondition()
+                                if hasattr(e, "getCondition") else None)
+                        legal_empty = cond == "UNABLE_TO_INFER_SCHEMA" or (
+                            cond is None and "UNABLE_TO_INFER_SCHEMA" in str(e)
+                        )
+                        if not legal_empty:
                             raise
                 if not frames:
                     raise ValueError(

@@ -140,6 +140,18 @@ class Pipeline:
         manifest = CheckpointManifest(run_dir)
         if not resume:
             manifest.reset()
+            # stale-partition hygiene: a previous run over the same
+            # run_dir may have written buckets this run won't touch —
+            # dynamic partition overwrite only replaces buckets that
+            # receive rows, so a FRESH run must clear its path sinks
+            # (catalog/kafka/stdout sinks have no run_dir directory)
+            import shutil
+
+            for sink in self.router.sinks:
+                if not sink.table and sink.fmt not in (
+                        "kafka", "rubydebug", "dots"):
+                    shutil.rmtree(f"{run_dir}/{sink.name}",
+                                  ignore_errors=True)
         completed = manifest.completed_batches()
 
         bucketed = source.withColumn(
@@ -149,6 +161,26 @@ class Pipeline:
         groups: list[list[int]] = [[] for _ in range(n_batches)]
         for b in range(n_buckets):
             groups[b % n_batches].append(b)
+
+        if resume and completed:
+            # an acked batch is only skippable when it covered the SAME
+            # buckets this run assigns to that batch id — resuming with
+            # a different n_buckets/n_batches/bucket_on would silently
+            # skip work (e.g. a 4-batch run resumed as 1 batch skips
+            # everything because batch 0 is acked)
+            for bid, entry in sorted(completed.items()):
+                expect = groups[bid] if bid < len(groups) else None
+                got = entry.get("buckets")
+                key_was = entry.get("lineage", {}).get("bucket_on")
+                if got != expect or (key_was is not None
+                                     and key_was != bucket_on):
+                    raise ValueError(
+                        f"resume: manifest batch {bid} covered buckets "
+                        f"{got} (bucket_on={key_was!r}) but the current "
+                        f"grouping (n_buckets={n_buckets}, "
+                        f"n_batches={n_batches}, bucket_on={bucket_on!r}) "
+                        f"expects {expect} — resume with the original "
+                        "parameters, or start fresh (resume=False)")
 
         total = PipelineMetrics(self.id)
         stage_tags = self._stage_failure_tags()
@@ -173,8 +205,15 @@ class Pipeline:
             # co-located with the checkpoint/ack unit. The shuffle carries
             # only post-parse columns (html is projected away by the
             # extract stage before this point).
+            compiled = self.compile(batch_src)
+            if BUCKET_COL not in compiled.columns:
+                raise ValueError(
+                    f"a filter removed the internal {BUCKET_COL!r} column "
+                    "(remove_field / prune whitelist?) — it must survive "
+                    "to the sinks: it is the partition key of the "
+                    "checkpointed idempotent bucket-overwrite contract")
             routed = (
-                self.compile(batch_src)
+                compiled
                 .repartition(len(buckets), F.col(BUCKET_COL))
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
@@ -211,7 +250,10 @@ class Pipeline:
                     },
                     "sinks": sink_counts,
                     "failures": failure_counts,
-                    "lineage": {"source": _describe_source(source), "run_dir": run_dir},
+                    "lineage": {"source": _describe_source(source),
+                                "run_dir": run_dir,
+                                "bucket_on": bucket_on,
+                                "n_buckets": n_buckets},
                 },
             )
             total = total.merge(m)

@@ -241,6 +241,13 @@ def _write_debug_stdout(branch: DataFrame, fmt: str) -> int:
 class Router:
     def __init__(self, sinks: list[dict | SinkSpec]):
         self.sinks = [s if isinstance(s, SinkSpec) else SinkSpec.from_dict(s) for s in sinks]
+        names = [s.name for s in self.sinks]
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        if dupes:
+            # names key BOTH the per-sink count dict and the output path
+            # under run_dir — duplicates mean concurrent same-path
+            # writes clobbering each other and counts silently collapsed
+            raise ValueError(f"duplicate sink names {dupes}")
 
     def branch(self, df: DataFrame, sink: SinkSpec) -> DataFrame:
         if sink.dlq:

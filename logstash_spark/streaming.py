@@ -64,10 +64,17 @@ def run_streaming(
     stage_tags = pipe._stage_failure_tags()
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         t0 = time.monotonic()
         bucketed = batch_df.withColumn(
             BUCKET_COL, F.pmod(F.xxhash64(F.col(bucket_on)), F.lit(n_buckets))
         )
+        # events.in must be the PRE-compile ingress count (batch-mode
+        # parity / node-stats semantics): a drop/split filter changes
+        # the post-compile count, which is events.filtered
+        obs = Observation(f"sin_{batch_id}")
+        bucketed = bucketed.observe(obs, F.count(F.lit(1)).alias("events_in"))
         routed = (
             pipe.compile(bucketed)
             .repartition(n_buckets, F.col(BUCKET_COL))
@@ -75,6 +82,7 @@ def run_streaming(
         )
         try:
             total, failures = _failure_census(routed, stage_tags)
+            in_count = int(obs.get["events_in"])
             sink_counts = pipe.router.write_batch(
                 routed, run_dir, mode="append"
             )
@@ -84,7 +92,7 @@ def run_streaming(
         rec = {
             "batch_id": batch_id,
             "events": {
-                "in": total,
+                "in": in_count,
                 "filtered": total,
                 "out": sum(sink_counts.values()),
                 "duration_in_millis": int((time.monotonic() - t0) * 1000),

@@ -207,3 +207,42 @@ def test_resume_is_session_conf_independent(spark, tmp_path):
             spark.conf.unset(conf)
         else:
             spark.conf.set(conf, prior)
+
+
+def test_resume_with_different_grouping_rejected(spark, tmp_path):
+    """An acked batch id is only skippable when the current run assigns
+    it the SAME buckets: resuming a crashed 4-batch run as 1 batch
+    would find batch 0 acked and silently skip EVERYTHING."""
+    pages = gen_pages(spark, 200)
+    run_dir = str(tmp_path / "regroup")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_flagship(spark, pages, run_dir, n_buckets=8, n_batches=4,
+                     _fail_after_batch=0)
+    with pytest.raises(ValueError, match="resume: manifest batch"):
+        run_flagship(spark, pages, run_dir, n_buckets=8, n_batches=1,
+                     resume=True)
+    with pytest.raises(ValueError, match="resume: manifest batch"):
+        run_flagship(spark, pages, run_dir, n_buckets=16, n_batches=4,
+                     resume=True)
+    # the original grouping still resumes cleanly
+    run_flagship(spark, pages, run_dir, n_buckets=8, n_batches=4,
+                 resume=True)
+
+
+def test_fresh_run_clears_stale_sink_partitions(spark, tmp_path):
+    """resume=False over an existing run_dir must not leave the previous
+    run's rows behind: dynamic partition overwrite only replaces buckets
+    that receive rows, so a smaller second input would otherwise keep
+    stale buckets (and a downstream p2p reader would re-ingest them)."""
+    pages = gen_pages(spark, 300)
+    run_dir = str(tmp_path / "fresh")
+    run_flagship(spark, pages, run_dir, n_buckets=8, n_batches=1)
+    before = spark.read.parquet(f"{run_dir}/sink_en").count()
+    assert before > 10
+    # second run over the SAME dir with a much smaller input
+    run_flagship(spark, pages.limit(20), run_dir, n_buckets=8, n_batches=1)
+    after = spark.read.parquet(f"{run_dir}/sink_en")
+    assert after.count() < before
+    urls_in = {r.url for r in pages.limit(20).select("url").collect()}
+    stale = {r.url for r in after.select("url").collect()} - urls_in
+    assert not stale, f"stale rows from the previous run: {sorted(stale)[:5]}"

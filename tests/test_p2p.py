@@ -48,6 +48,34 @@ def test_p2p_graph_merge_and_order(spark, tmp_path):
     assert spark.read.parquet(f"{run_dir}/gen_a/local_a").count() == 3
 
 
+def test_p2p_two_branches_same_address_merge(spark, tmp_path):
+    """PipelineBus semantics: several output entries may send to the
+    SAME address and the bus merges them. Each branch needs its own
+    sink path — with one shared name the concurrent writers clobbered
+    each other's bucket partitions and the downstream read doubled."""
+    specs = [
+        {"id": "src",
+         "outputs": [
+             {"pipeline": {"send_to": "bus"}, "when": "[lang] == 'en'"},
+             {"pipeline": {"send_to": "bus"}, "when": "[lang] == 'fr'"},
+         ]},
+        {"id": "agg",
+         "input": {"pipeline": {"address": "bus"}},
+         "outputs": [{"name": "final"}]},
+    ]
+    g = PipelineGraph(specs)
+    inputs = {"src": _df(spark, [
+        ("http://a/1", "en", 1), ("http://a/2", "de", 2),
+        ("http://a/3", "fr", 3), ("http://a/4", "en", 4)])}
+    run_dir = str(tmp_path / "dup")
+    metrics = g.run(spark, inputs, run_dir, n_buckets=4)
+    final = spark.read.parquet(f"{run_dir}/agg/final")
+    # en branch (2 rows) + fr branch (1 row); the de row matched neither
+    assert metrics["agg"].events_in == 3
+    assert {r.url for r in final.select("url").collect()} == {
+        "http://a/1", "http://a/3", "http://a/4"}
+
+
 def test_p2p_cycle_rejected():
     with pytest.raises(ValueError, match="cycle"):
         PipelineGraph([

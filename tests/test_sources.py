@@ -429,6 +429,16 @@ def test_write_batch_mode_pin_survives_concurrency(spark, tmp_path):
         spark.conf.set(conf_key, prior)
 
 
+def test_router_duplicate_sink_names_rejected():
+    """Sink names key the per-sink count dict and the output path under
+    run_dir — two sinks sharing a name means concurrent same-path
+    writes clobbering each other and one count silently dropped."""
+    from logstash_spark.router import Router, SinkSpec
+
+    with pytest.raises(ValueError, match="duplicate sink names"):
+        Router([SinkSpec(name="x"), SinkSpec(name="x", when="[a] == 1")])
+
+
 def test_stdout_debug_codecs(spark, capsys):
     """rubydebug / dots stdout codecs: driver-side debug printing
     (logstash-codec-rubydebug awesome_print shape; one dot per event),

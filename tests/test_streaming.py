@@ -74,6 +74,35 @@ def test_streaming_foreachbatch_e2e(spark, tmp_path):
     assert sum(r["sinks"]["sink_en"] for r in recs) == n_en
 
 
+def test_streaming_events_in_is_pre_filter_ingress(spark, tmp_path):
+    """Batch-mode parity for node-stats counters: events.in is the
+    PRE-compile ingress count; a drop filter must lower events.filtered
+    (post-compile) but never events.in."""
+    src_dir = str(tmp_path / "src_drop")
+    n = 200
+    spark.range(n).select(
+        F.concat(F.lit("https://d"), F.col("id").cast("string")).alias("url"),
+        F.when(F.pmod("id", F.lit(4)) == 0, "keep").otherwise("drop")
+        .alias("verdict"),
+    ).coalesce(1).write.parquet(src_dir)
+
+    pipe = Pipeline({
+        "id": "drop_stream",
+        "filters": [{"drop": {"when": "[verdict] == 'drop'"}}],
+        "outputs": [{"name": "kept"}],
+    })
+    run_dir = str(tmp_path / "run_drop")
+    stream = stream_from_directory(
+        spark, src_dir, "url string, verdict string")
+    run_streaming(pipe, stream, run_dir, bucket_on="url", n_buckets=4,
+                  timeout_sec=300)
+    with open(f"{run_dir}/metrics_stream.jsonl") as f:
+        recs = [json.loads(line) for line in f]
+    assert sum(r["events"]["in"] for r in recs) == n
+    assert sum(r["events"]["filtered"] for r in recs) == n // 4
+    assert sum(r["sinks"]["kept"] for r in recs) == n // 4
+
+
 def test_streaming_resume_checkpoint(spark, tmp_path):
     """New files after a drained availableNow run are picked up by the
     next run from the SAME checkpoint; old files are not re-read."""
