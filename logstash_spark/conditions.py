@@ -56,6 +56,13 @@ class _Tok:
     text: str
 
 
+def _false_if_null(c: Column) -> Column:
+    """Ruby/EventCondition nil-discipline shim: a null predicate is
+    plain FALSE before any negation — SQL's three-valued ~null stays
+    null and the row would vanish from BOTH branches of an if/else."""
+    return F.coalesce(c, F.lit(False))
+
+
 def _tokenize(s: str) -> list[_Tok]:
     toks: list[_Tok] = []
     pos = 0
@@ -85,7 +92,20 @@ class _Operand:
 
 
 class ConditionParser:
-    """Recursive-descent parser; precedence: ! > comparison > and > or."""
+    """Recursive-descent parser. Binary boolean operators fold LEFT-
+    ASSOCIATIVELY with NO precedence (the LSCL treetop grammar's
+    ``expression (booleanOperator expression)*`` shape): ``a or b and
+    c`` is ``(a or b) and c`` — conventional and-binds-tighter parsing
+    would silently re-group ported configs. ``!`` binds tightest.
+
+    Null discipline (EventCondition parity): the reference evaluates
+    over Ruby/Java values where nil comparisons are plain false and
+    negation of false is TRUE — three-valued SQL logic would instead
+    swallow the row from BOTH branches of an if/else (null → filtered
+    out of the then-branch AND of the ``!(...)`` else-branch). So every
+    negating operator (! != !~ not-in nand) coalesces its operand to
+    false before negating, and == lowers to the null-safe ``<=>``
+    (nil == nil is true in Ruby, and Neq is its strict complement)."""
 
     def __init__(self, toks: list[_Tok], df: DataFrame | None):
         self.toks = toks
@@ -101,39 +121,62 @@ class ConditionParser:
         return t
 
     def _dtype(self, ref: str) -> str | None:
+        """Resolved LEAF type of a (possibly nested) field ref — the
+        try_cast coercion guard and the truthiness lowering must see the
+        type of ``[a][b]``'s leaf, not of the top-level struct, and the
+        @timestamp/@metadata aliases must resolve through their
+        canonical column names."""
         if self.df is None:
             return None
-        top = ref.strip("[]").split("][")[0]
+        from pyspark.sql import types as T
+
+        from .fieldref import _canonical, parse_ref
+
+        parts = _canonical(parse_ref(ref))
+        cur = None
         for f in self.df.schema.fields:
-            if f.name == top:
-                return f.dataType.simpleString()
-        return None
+            if f.name == parts[0]:
+                cur = f.dataType
+                break
+        if cur is None:
+            return None
+        for p in parts[1:]:
+            if isinstance(cur, T.StructType):
+                sub = next((f for f in cur.fields if f.name == p), None)
+                if sub is None:
+                    return None
+                cur = sub.dataType
+            elif isinstance(cur, T.ArrayType) and p.isdigit():
+                cur = cur.elementType
+            elif isinstance(cur, T.MapType):
+                cur = cur.valueType
+            else:
+                return None
+        return cur.simpleString()
 
     # ---- grammar ----
     def parse(self) -> Column:
-        c = self._or_expr()
+        c = self._bool_expr()
         if self._peek() is not None:
             raise ValueError(f"trailing tokens in condition at {self._peek().text!r}")
         return c
 
-    def _or_expr(self) -> Column:
-        left = self._and_expr()
-        while (t := self._peek()) and t.kind == "kw" and t.text in ("or", "nand", "xor"):
+    def _bool_expr(self) -> Column:
+        # flat LEFT-ASSOCIATIVE fold over and/or/nand/xor — the LSCL
+        # grammar has no boolean precedence (see class docstring)
+        left = self._unary()
+        while (t := self._peek()) and t.kind == "kw" and t.text in (
+                "and", "or", "nand", "xor"):
             op = self._next().text
-            right = self._and_expr()
-            if op == "or":
+            right = self._unary()
+            if op == "and":
+                left = left & right
+            elif op == "or":
                 left = left | right
             elif op == "nand":
-                left = ~(left & right)
-            else:  # xor — on booleans, != (EventCondition compiles likewise)
-                left = left != right
-        return left
-
-    def _and_expr(self) -> Column:
-        left = self._unary()
-        while (t := self._peek()) and t.kind == "kw" and t.text == "and":
-            self._next()
-            left = left & self._unary()
+                left = ~(_false_if_null(left) & _false_if_null(right))
+            else:  # xor — on truthiness booleans, != (EventCondition)
+                left = _false_if_null(left) != _false_if_null(right)
         return left
 
     def _unary(self) -> Column:
@@ -142,10 +185,12 @@ class ConditionParser:
             raise ValueError("unexpected end of condition")
         if t.kind == "bang":
             self._next()
-            return ~self._unary()
+            # nil inner → false in the reference, so ! must yield TRUE —
+            # three-valued ~null would drop the row from both branches
+            return ~_false_if_null(self._unary())
         if t.kind == "lparen":
             self._next()
-            inner = self._or_expr()
+            inner = self._bool_expr()
             if not (self._peek() and self._peek().kind == "rparen"):
                 raise ValueError("missing )")
             self._next()
@@ -182,14 +227,18 @@ class ConditionParser:
         raise ValueError(f"unexpected token {t.text!r}")
 
     def _truthy(self, op: _Operand) -> Column:
-        """Bare ``if [f]``: exists and not null/false (EventCondition
-        'truthy'). Ruby truthiness: only nil and false are falsy —
-        empty string and 0 are truthy."""
+        """Bare ``if [f]`` — EventCondition.Compiler#valueIsTruthy:
+        null, the EMPTY STRING, and the string "false" (hence boolean
+        false via toString) are falsy; everything else (including 0)
+        is truthy."""
         col = op.col()
         if op.kind == "field":
             dt = self._dtype(op.value)
             if dt == "boolean":
                 return col.isNotNull() & col
+            if dt == "string":
+                return (col.isNotNull() & (col != F.lit(""))
+                        & (col != F.lit("false")))
             return col.isNotNull()
         return F.lit(bool(op.value))
 
@@ -204,14 +253,16 @@ class ConditionParser:
         if tok.kind == "kw":  # in / not in
             right = self._operand()
             result = self._in(left, right)
-            return ~result if tok.text == "not in" else result
+            # nil in [...] is false, so `not in` on a nil field is TRUE
+            return ~_false_if_null(result) if tok.text == "not in" else result
         op = tok.text
         if op in ("=~", "!~"):
             right = self._operand()
             pat = right.value if right.kind in ("regex", "str") else str(right.value)
             # Logstash =~ is a *search*, not a full match → rlike semantics match.
             matched = left.col().rlike(pat)
-            return ~matched if op == "!~" else matched
+            # nil =~ /x/ is false, so nil !~ /x/ is TRUE (Ruby/RegexEq)
+            return ~_false_if_null(matched) if op == "!~" else matched
         right = self._operand()
         lc, rc = left.col(), right.col()
         # static numeric coercion: string field vs number literal.
@@ -222,9 +273,12 @@ class ConditionParser:
             lc = lc.try_cast("double")
         if right.kind == "field" and left.kind == "num" and self._dtype(right.value) == "string":
             rc = rc.try_cast("double")
+        # == is Ruby ==: nil == x is FALSE (not null) and nil == nil is
+        # TRUE → null-safe <=>; Neq is its strict complement, so
+        # `[missing] != 'debug'` routes the event (the drop-debug idiom)
         return {
-            "==": lambda: lc == rc,
-            "!=": lambda: lc != rc,
+            "==": lambda: lc.eqNullSafe(rc),
+            "!=": lambda: ~lc.eqNullSafe(rc),
             "<": lambda: lc < rc,
             ">": lambda: lc > rc,
             "<=": lambda: lc <= rc,

@@ -77,10 +77,28 @@ def field_name(ref: str) -> str:
 
 
 def _joda_to_java(fmt: str) -> str:
-    """Logstash ``%{+...}`` uses Joda patterns; Spark's date_format uses
-    java.time patterns — the subset used by event routing (yyyy MM dd HH
-    mm ss, separators) is identical, so pass through."""
-    return fmt
+    """Logstash date patterns are JODA; Spark's date_format/
+    try_to_timestamp use java.time. The overlap is large but the
+    differences are data-corrupting where they bite:
+
+    * Joda ``Y`` = year-of-era (the ubiquitous ``%{+YYYY.MM.dd}`` index
+      pattern), java.time ``Y`` = WEEK-BASED year → wrong year for a
+      few days around every new year. Translate Y-runs → ``y``.
+    * Joda ``x`` = weekyear → java.time ``Y``.
+    * Joda ``ZZ`` (``+HH:mm``) → java.time ``XXX``.
+
+    Quoted literals (``'T'``) pass through verbatim."""
+    import re as _re
+
+    out = []
+    for i, seg in enumerate(_re.split(r"('(?:[^']|'')*')", fmt)):
+        if i % 2:  # quoted literal
+            out.append(seg)
+            continue
+        seg = _re.sub(r"Y+", lambda m: "y" * len(m.group()), seg)
+        seg = _re.sub(r"x+", lambda m: "Y" * len(m.group()), seg)
+        out.append(seg.replace("ZZ", "XXX"))
+    return "".join(out)
 
 
 def sprintf_col(template: str, ts_field: str = TIMESTAMP_FIELD) -> Column:

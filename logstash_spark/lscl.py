@@ -63,8 +63,15 @@ def _tokenize(text: str):
 
 
 def _unquote(s: str) -> str:
-    body = s[1:-1]
-    return re.sub(r"\\(.)", r"\1", body)
+    """Quoted string → value, reference-default semantics
+    (``config.support_escapes: false``): backslashes are VERBATIM —
+    a grok pattern written ``"\\[%{WORD:level}\\]"`` must keep its
+    backslashes or the literal brackets silently become a character
+    class. The ONLY unescape is the enclosing quote char itself
+    (the grammar's way to contain it: ``\\"`` inside "..."), exactly
+    what the treetop grammar's gsub does."""
+    q, body = s[0], s[1:-1]
+    return body.replace("\\" + q, q)
 
 
 class _Parser:
@@ -137,20 +144,52 @@ class _Parser:
 
     # ---- branches ---------------------------------------------------------
     def condition_text(self):
-        """Raw expression text up to the opening '{' (conditions never
-        contain braces in LSCL)."""
-        start = None
-        depth0 = self.i
-        while self.peek()[0] not in ("lbrace", None):
-            if start is None:
-                start = self.peek()[2]
-            self.next()
-        if self.peek()[0] is None:
+        """Raw expression text up to the block-opening '{'. The scan
+        runs over the RAW text, not the token stream: the tokenizer has
+        no regex token, so a brace quantifier inside ``/\\d{4}/`` (or a
+        '{' inside a quoted string) would otherwise be mistaken for the
+        block opener and break the parse. Comments between condition
+        and '{' are skipped."""
+        k, _, start = self.peek()
+        if k is None:
             raise LsclError("unterminated condition")
-        end = self.peek()[2]
-        if start is None:
+        text, n = self.text, len(self.text)
+        buf: list[str] = []
+        i = start
+        while i < n:
+            c = text[i]
+            if c == "#":  # comment to end of line — not condition text
+                while i < n and text[i] != "\n":
+                    i += 1
+                continue
+            if c in "'\"" or c == "/":  # string / regex literal
+                closer = c
+                buf.append(c)
+                i += 1
+                while i < n and text[i] != closer:
+                    if text[i] == "\\" and i + 1 < n:
+                        buf.append(text[i: i + 2])
+                        i += 2
+                    else:
+                        buf.append(text[i])
+                        i += 1
+                if i < n:
+                    buf.append(closer)
+                    i += 1
+                continue
+            if c == "{":
+                break
+            buf.append(c)
+            i += 1
+        else:
+            raise LsclError("unterminated condition")
+        cond = "".join(buf).strip()
+        if not cond:
             raise LsclError("empty condition")
-        return self.text[start:end].strip()
+        # re-sync the token cursor to the first token at/after the '{'
+        while self.peek()[0] is not None and self.peek()[2] < i:
+            self.next()
+        return cond
 
     def section_items(self, when: str | None):
         """Parse items inside a section/branch body until '}' / EOF.

@@ -43,13 +43,24 @@ def ensure_tags(df: DataFrame) -> DataFrame:
     return df.withColumn(TAGS_FIELD, F.array().cast("array<string>"))
 
 
+def _tag_col(t: str) -> Column:
+    """filters/base.rb sprintf-interpolates tag values before tagging
+    (``event.tag(event.sprintf(tag))``) — ``add_tag => ["%{type}_ok"]``
+    must tag 'apache_ok', not the literal template."""
+    if "%{" in t:
+        from ..fieldref import sprintf_col
+
+        return sprintf_col(t)
+    return F.lit(t)
+
+
 def add_tags(df: DataFrame, tags: list[str], cond: Column | None = None) -> DataFrame:
     if not tags:
         return df
     df = ensure_tags(df)
     merged = F.array_union(
         F.coalesce(F.col(TAGS_FIELD), F.array().cast("array<string>")),
-        F.array(*[F.lit(t) for t in tags]),
+        F.array(*[_tag_col(t) for t in tags]),
     )
     col = merged if cond is None else F.when(cond, merged).otherwise(F.col(TAGS_FIELD))
     return df.withColumn(TAGS_FIELD, col)
@@ -103,28 +114,62 @@ class Stage:
         out, matched = self.transform(df)
         if not (self.add_field or self.add_tag or self.remove_field or self.remove_tag):
             return out.drop("__matched") if "__matched" in out.columns else out
+        from ..fieldref import _canonical, parse_ref
+
         cond = matched if matched is not None else F.lit(True)
         for ref, template in self.add_field.items():
-            name = field_name(ref)
+            parts = _canonical(parse_ref(ref))
+            name = parts[0]
             val = sprintf_col(template)
-            if name in out.columns:
+            if len(parts) > 1:
+                # nested target: set ONE key inside the struct — a
+                # whole-column write would clobber the siblings and
+                # retype the column (the reference sets only [a][b])
+                dotted = ".".join(parts[1:])
+                if name in out.columns:
+                    if not dict(out.dtypes)[name].startswith("struct"):
+                        raise ValueError(
+                            f"add_field: {ref!r} targets a nested key "
+                            f"but column {name!r} is not a struct")
+                    new = F.col(name).withField(dotted, val)
+                    out = out.withColumn(
+                        name, F.when(cond, new).otherwise(F.col(name)))
+                else:
+                    inner = val
+                    for p in reversed(parts[1:]):
+                        inner = F.struct(inner.alias(p))
+                    out = out.withColumn(name, F.when(cond, inner))
+            elif name in out.columns:
                 out = out.withColumn(name, F.when(cond, val).otherwise(F.col(name)))
             else:
                 out = out.withColumn(name, F.when(cond, val))
         if self.add_tag:
             out = add_tags(out, self.add_tag, cond)
         for ref in self.remove_field:
-            name = field_name(ref)
-            if name in out.columns:
-                if matched is None:
-                    out = out.drop(name)
-                else:
-                    out = out.withColumn(
-                        name, F.when(cond, F.lit(None).cast(dict(out.dtypes)[name])).otherwise(F.col(name))
-                    )
+            parts = _canonical(parse_ref(ref))
+            name = parts[0]
+            if name not in out.columns:
+                continue
+            if len(parts) > 1:
+                # nested removal: drop ONE key, keep the siblings
+                if not dict(out.dtypes)[name].startswith("struct"):
+                    continue  # non-struct top → nested key cannot exist
+                dropped = F.col(name).dropFields(".".join(parts[1:]))
+                out = out.withColumn(
+                    name,
+                    dropped if matched is None
+                    else F.when(cond, dropped).otherwise(F.col(name)))
+            elif matched is None:
+                out = out.drop(name)
+            else:
+                out = out.withColumn(
+                    name, F.when(cond, F.lit(None).cast(dict(out.dtypes)[name])).otherwise(F.col(name))
+                )
         if self.remove_tag:
             out = ensure_tags(out)
-            removed = F.array_except(F.col(TAGS_FIELD), F.array(*[F.lit(t) for t in self.remove_tag]))
+            removed = F.array_except(
+                F.col(TAGS_FIELD),
+                F.array(*[_tag_col(t) for t in self.remove_tag]))
             out = out.withColumn(
                 TAGS_FIELD, F.when(cond, removed).otherwise(F.col(TAGS_FIELD))
             )

@@ -360,13 +360,13 @@ class XmlStage(Stage):
 
 # Joda (reference) → java.time (Spark) pattern translation. The shared
 # subset is identical; the table handles the known divergences.
-_JODA_TO_JAVA = {"ZZ": "XXX"}
-
-
 def _fmt_to_java(fmt: str) -> str:
-    for j, v in _JODA_TO_JAVA.items():
-        fmt = fmt.replace(j, v)
-    return fmt
+    # one shared Joda→java.time translator (fieldref) — date.rb match
+    # patterns and %{+...} sprintf patterns are both Joda, and both hit
+    # the same Y-vs-week-year / ZZ-vs-XXX traps
+    from ..fieldref import _joda_to_java
+
+    return _joda_to_java(fmt)
 
 
 @register("date")

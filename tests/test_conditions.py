@@ -41,7 +41,9 @@ def test_compare_numeric(df):
 
 def test_regex(df):
     assert ids(df, "[request] =~ /^GET/") == [1, 4]
-    assert ids(df, "[request] !~ /^GET/") == [2]
+    # row 3 has request=NULL: nil =~ /x/ is false, so nil !~ /x/ is
+    # TRUE (Ruby / RegexEq-negate) — three-valued ~null would drop it
+    assert ids(df, "[request] !~ /^GET/") == [2, 3]
 
 
 def test_in_list(df):
@@ -72,8 +74,53 @@ def test_truthiness(df):
 
 
 def test_precedence_and_parens(df):
-    assert ids(df, "[status] == 200 or [status] == 404 and [lang] == 'de'") == [1, 2]
+    # the LSCL treetop grammar folds boolean operators LEFT-ASSOCIATIVELY
+    # with NO precedence: `a or b and c` is `(a or b) and c`, unlike
+    # conventional and-binds-tighter parsing
+    assert ids(df, "[status] == 200 or [status] == 404 and [lang] == 'de'") == [2]
     assert ids(df, "([status] == 200 or [status] == 404) and [lang] == 'de'") == [2]
+    assert ids(df, "[lang] == 'de' and [status] == 404 or [status] == 301") == [2, 4]
+
+
+def test_null_discipline_covers_both_branches(df):
+    """EventCondition nil semantics: a nil comparison is plain false,
+    so its negation is TRUE — a row with a missing field must appear in
+    exactly ONE branch of an if/else, never in neither."""
+    # request is NULL on row 3
+    then_ids = ids(df, "[request] == 'GET /about'")
+    else_ids = ids(df, "!([request] == 'GET /about')")
+    assert then_ids == [4]
+    assert else_ids == [1, 2, 3]  # the null row lands in the else branch
+    assert ids(df, "[request] != 'GET /about'") == [1, 2, 3]
+    assert ids(df, "[request] not in ['GET /about']") == [1, 2, 3]
+    # score is NULL on rows 1 and 4
+    assert ids(df, "[score] == 1.5 nand [lang] == 'de'") == [1, 3, 4]
+    assert ids(df, "[score] == 1.5 xor [lang] == 'en'") == [1, 2, 4]
+
+
+def test_truthiness_empty_and_false_strings(spark):
+    """EventCondition.Compiler#valueIsTruthy: null, the empty string,
+    and the string 'false' are falsy; 0 is truthy."""
+    df2 = spark.createDataFrame(
+        [(1, "x", 0), (2, "", 5), (3, "false", 6), (4, None, 7)],
+        "id int, s string, n int")
+    assert sorted(r.id for r in df2.filter(
+        compile_condition("[s]", df2)).collect()) == [1]
+    assert sorted(r.id for r in df2.filter(
+        compile_condition("![s]", df2)).collect()) == [2, 3, 4]
+    assert sorted(r.id for r in df2.filter(
+        compile_condition("[n]", df2)).collect()) == [1, 2, 3, 4]
+
+
+def test_nested_field_coercion_and_dtype(spark):
+    """The string-vs-number try_cast guard must resolve NESTED leaf
+    types — [a][b] against a number literal on a string leaf would
+    otherwise hit an ANSI cast abort on non-numeric rows."""
+    df3 = spark.createDataFrame(
+        [(1, ("42",)), (2, ("abc",)), (3, ("7",))],
+        "id int, a struct<b:string>")
+    assert sorted(r.id for r in df3.filter(
+        compile_condition("[a][b] > 10", df3)).collect()) == [1]
 
 
 def test_string_field_numeric_coercion(spark):
