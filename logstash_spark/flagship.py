@@ -55,6 +55,7 @@ def flagship_pipeline(spark: SparkSession) -> Pipeline:
             {"translate": {"source": "domain", "target": "dominfo",
                            "dictionary_df": ddict, "tag_on_miss": "_translation_miss"}},
             {"fingerprint": {"source": ["url", "text"], "method": "SHA256",
+                             "concatenate_sources": True,
                              "target": "fingerprint"}},
             {"mutate": {"copy": {"warc_ts": "event_ts"}}},
         ],

@@ -21,16 +21,18 @@ into ONE Python regex with named groups; execution is a vectorized
 ``Series.str.extract`` over Arrow batches inside a pandas UDF that
 returns a struct of captures plus a ``_matched`` flag. Multiple
 patterns = first-match-wins: later patterns run only on rows the
-earlier ones missed. Single-capture patterns should prefer the native
-``F.regexp_extract`` lowering (``lower_single_capture``).
+earlier ones missed. Single-pattern specs prefer the native
+``F.regexp_extract`` lowering (``lower_multi_capture``).
 """
 
 from __future__ import annotations
 
 import re
+import warnings
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 
 GROK_FAILURE_TAG = "_grokparsefailure"
@@ -793,6 +795,16 @@ def translate_posix_classes(pattern: str) -> str:
     return _POSIX_REF.sub(repl, pattern)
 
 
+# Oniguruma/grok.rb inline named capture: ``(?<queue_id>[0-9A-F]+)`` —
+# the idiom grok.rb documents for one-off captures. Python re spells it
+# ``(?P<name>``; lookbehinds ``(?<=`` / ``(?<!`` must NOT be rewritten.
+_ONIG_NAMED = re.compile(r"\(\?<(?![=!])")
+
+
+def _py_dialect(pattern: str) -> str:
+    return _ONIG_NAMED.sub("(?P<", pattern)
+
+
 @dataclass
 class CompiledGrok:
     regex: re.Pattern
@@ -808,10 +820,17 @@ def _sanitize(name: str) -> str:
 def compile_grok(
     pattern: str, extra_patterns: dict[str, str] | None = None
 ) -> CompiledGrok:
-    """Expand ``%{NAME:field:type}`` refs into one Python regex."""
+    """Expand ``%{NAME:field:type}`` refs into one Python regex.
+
+    Output fields come from two sources, matching grok.rb: ``%{NAME:
+    semantic[:type]}`` refs AND inline named captures ``(?<name>…)``
+    (Oniguruma spelling translated to ``(?P<name>``) — whether written
+    in the user pattern or inside a library pattern (the RAILS family
+    carries its controller/action/timestamp captures this way)."""
     lib = dict(CORE_PATTERNS)
     if extra_patterns:
-        lib.update(extra_patterns)
+        lib.update({k: _py_dialect(v) for k, v in extra_patterns.items()})
+    pattern = _py_dialect(pattern)
 
     fields: dict[str, tuple[list[str], str]] = {}
     counter = [0]
@@ -850,6 +869,16 @@ def compile_grok(
             f"groups need Python >= 3.11, negated POSIX classes and "
             f"Oniguruma callouts are unsupported by design"
         ) from e
+    # inline named captures ((?<name>…) / (?P<name>…), in the user
+    # pattern or a library pattern like RAILS3) are output fields too —
+    # grok.rb emits them exactly like %{X:name} refs, always as string
+    for gname in compiled.groupindex:
+        if not re.fullmatch(r"g\d+", gname):
+            out_field = _sanitize(gname)
+            groups, typ = fields.get(out_field, ([], "string"))
+            if gname not in groups:
+                groups.append(gname)
+            fields[out_field] = (groups, typ)
     return CompiledGrok(regex=compiled, fields=fields)
 
 
@@ -896,12 +925,30 @@ def grok_extract_batch(
         if not break_on_match:
             todo = s.notna()
         sub = s[todo].astype("string")
-        # extract: one column per regex group
-        ext = sub.str.extract(cg.regex)
-        hit = ext.notna().any(axis=1)
-        # a regex with zero capture groups can still match
-        if not cg.fields:
-            hit = sub.str.contains(cg.regex, regex=True).fillna(False)
+        if cg.regex.groups == 0:
+            # pure match-test pattern (e.g. ``%{IPV4}`` with no
+            # semantic): str.extract would raise on a groupless regex
+            ext = pd.DataFrame(index=sub.index)
+            hit = sub.str.contains(cg.regex, regex=True).fillna(False).astype(bool)
+        else:
+            # extract: one column per regex group
+            ext = sub.str.extract(cg.regex)
+            hit = ext.notna().any(axis=1)
+            # a row can MATCH while every capture group stays empty
+            # (all groups optional, or no semantic captures at all) —
+            # grok.rb counts that as a match, not _grokparsefailure.
+            # Recheck only the all-NaN rows: matched rows are already
+            # settled, so the second scan touches only the miss set.
+            miss = ~hit
+            if miss.any():
+                with warnings.catch_warnings():
+                    # pandas warns that a grouped pattern "has match
+                    # groups" — the groups are extracted above; this
+                    # pass only wants the match flag
+                    warnings.simplefilter("ignore", UserWarning)
+                    re_hit = sub[miss].str.contains(
+                        cg.regex, regex=True).fillna(False).astype(bool)
+                hit.loc[re_hit[re_hit].index] = True
         hit_idx = hit[hit].index
         for fname, (groups, _typ) in cg.fields.items():
             vals = None
@@ -937,7 +984,19 @@ def grok_extract_batch(
 
     for fname, typ in all_fields.items():
         if typ == "int":
-            out[fname] = pd.to_numeric(out[fname], errors="coerce").astype("Int64")
+            # grok.rb :int is Ruby to_i — TRUNCATES float captures
+            # (%{NUMBER:x:int} on '1.5' → 1). Non-numeric → null (our
+            # try_ discipline; Ruby's fabricated 0 is a documented
+            # deviation). Plain astype('Int64') would instead abort the
+            # whole Arrow batch on the first non-integral value.
+            num = pd.to_numeric(out[fname], errors="coerce")
+            if pd.api.types.is_integer_dtype(num):
+                out[fname] = num.astype("Int64")  # exact, no float hop
+            else:
+                num = num.replace([np.inf, -np.inf], np.nan)
+                out[fname] = pd.array(
+                    np.trunc(num.to_numpy(dtype="float64")), dtype="Int64"
+                ) if len(num) else pd.array([], dtype="Int64")
         elif typ == "float":
             out[fname] = pd.to_numeric(out[fname], errors="coerce").astype("Float64")
     out["_matched"] = matched
@@ -967,25 +1026,6 @@ def grok_udf(patterns: list[str], extra_patterns: dict[str, str] | None = None,
     """Build (pandas_udf, output_schema_ddl) for a grok match spec."""
     compiled = [compile_grok(p, extra_patterns) for p in patterns]
     return struct_extract_udf(compiled, keep_empty_captures, break_on_match)
-
-
-def lower_single_capture(pattern: str) -> tuple[str, str] | None:
-    """If the grok spec is one literal-anchored single capture, return
-    (python_regex, field) so the stage can use native F.regexp_extract
-    instead of a UDF. Conservative: only when exactly one semantic
-    capture exists and the expansion has exactly one group."""
-    cg = compile_grok(pattern)
-    if len(cg.fields) != 1:
-        return None
-    fname, (groups, typ) = next(iter(cg.fields.items()))
-    if len(groups) != 1 or typ != "string":
-        return None
-    # rewrite the single named group to an anonymous group for Spark's
-    # Java regex (named groups differ between re and java.util.regex)
-    java_pat = cg.regex.pattern.replace(f"(?P<{groups[0]}>", "(")
-    if "(?P<" in java_pat or "(?<!" in java_pat or "(?!" in java_pat:
-        return None  # lookarounds are fine in Java but keep it conservative
-    return java_pat, fname
 
 
 def lower_multi_capture(

@@ -222,7 +222,9 @@ class MultilineStage(Stage):
             merged, ["multiline_codec_max_lines_reached"],
             F.col("n_lines") >= max_lines,
         )
-        return merged, None
+        # n_lines is an internal helper for the two tag conditions —
+        # the reference's merged event carries no such field
+        return merged.drop("n_lines"), None
 
 
 @register("metrics")

@@ -104,6 +104,10 @@ class MutateStage(Stage):
             col = F.col(name)
             if typ == "boolean":
                 # mutate.rb convert: "true"/"t"/"yes"/"y"/"1" → true, etc.
+                # Unconvertible → null: mutate.rb keeps the ORIGINAL
+                # value, but a Spark column has one static type — null
+                # is the same documented deviation every other convert
+                # type takes via try_cast (dirty value → null, flow on).
                 col = F.when(F.lower(col.cast("string")).isin("true", "t", "yes", "y", "1"), F.lit(True)) \
                     .when(F.lower(col.cast("string")).isin("false", "f", "no", "n", "0"), F.lit(False))
             else:
@@ -113,12 +117,49 @@ class MutateStage(Stage):
             df = df.withColumn(name, col)
         return df
 
+    @staticmethod
+    def _ruby_repl_to_java(repl: str) -> str:
+        """mutate.rb gsub replacements are RUBY syntax: ``\\1`` group
+        backrefs, ``\\k<name>`` named refs, ``$`` literal. Java's
+        replaceAll (regexp_replace) spells those ``$1`` / ``${name}``
+        and treats a bare ``$`` as a group sigil — passing the Ruby
+        string through silently emits literal '1' for ``\\1`` and
+        THROWS on a literal '$'. Translate token-by-token."""
+        out: list[str] = []
+        i, n = 0, len(repl)
+        while i < n:
+            c = repl[i]
+            if c == "\\" and i + 1 < n:
+                nxt = repl[i + 1]
+                if nxt.isdigit():
+                    out.append("$" + nxt)
+                    i += 2
+                    continue
+                if nxt == "k" and repl[i + 2: i + 3] == "<" and ">" in repl[i + 3:]:
+                    j = repl.index(">", i + 3)
+                    out.append("${" + repl[i + 3: j] + "}")
+                    i = j + 1
+                    continue
+                out.append("\\" + nxt)  # \\ and other escapes: same in Java
+                i += 2
+                continue
+            if c == "$":
+                out.append("\\$")
+                i += 1
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
     def _op_gsub(self, df, arg: list):
         # flat triples [field, pattern, replacement, ...]
         for i in range(0, len(arg), 3):
             ref, pat, repl = arg[i : i + 3]
             name = field_name(ref)
-            df = df.withColumn(name, F.regexp_replace(F.col(name), pat, repl))
+            df = df.withColumn(
+                name,
+                F.regexp_replace(F.col(name), pat, self._ruby_repl_to_java(repl)),
+            )
         return df
 
     def _op_uppercase(self, df, refs: list):
@@ -347,9 +388,15 @@ class FingerprintStage(Stage):
     """logstash-filter-fingerprint: hash field(s) → fingerprint column.
 
     methods: MD5|SHA1|SHA256|SHA512|MURMUR3|XX64 (extension);
-    concatenate_sources joins multi-source with '|' like the reference.
     ``key`` set → true HMAC-<method> (fingerprint.rb's OpenSSL::HMAC),
     so fingerprints are comparable with a reference deployment.
+
+    Multi-source semantics are fingerprint.rb's EXACTLY (cross-system
+    dedup keys break on any divergence): sources are SORTED; with
+    ``concatenate_sources => true`` the hashed string is
+    ``|name|value|name|value…|`` (field NAMES included, nil renders
+    empty); without it each existing source sets the target in sorted
+    order — the LAST present source wins.
     All native hash/concat expressions — JVM codegen path.
     """
 
@@ -360,23 +407,39 @@ class FingerprintStage(Stage):
         sources = self.conf.get("source", ["message"])
         if isinstance(sources, str):
             sources = [sources]
+        sources = sorted(sources)  # fingerprint.rb: @source.sort
         method = self.conf.get("method", "SHA256").upper()
         target = self.conf.get("target", "fingerprint")
-        if len(sources) == 1:
-            src = field_col(sources[0]).cast("string")
-        else:
-            src = F.concat_ws("|", *[field_col(s).cast("string") for s in sources])
         key = self.conf.get("key")
-        if key:
-            if method not in _DIGEST_FN:
-                raise ValueError(f"HMAC not supported for method {method}")
-            return df.withColumn(target, hmac_col(src, key, method)), None
-        fn = {
+        if key and method not in _DIGEST_FN:
+            raise ValueError(f"HMAC not supported for method {method}")
+        fn = (lambda c: hmac_col(c, key, method)) if key else {
             "MURMUR3": lambda c: F.hash(c).cast("string"),
             "XX64": lambda c: F.xxhash64(c).cast("string"),
             **_DIGEST_FN,
         }[method]
-        return df.withColumn(target, fn(src)), None
+        if self.conf.get("concatenate_sources", False) and len(sources) > 1:
+            # '|k1|v1|k2|v2|' — "#{nil}" is the empty string in Ruby
+            src = F.concat(
+                *[F.concat(F.lit(f"|{s}|"),
+                           F.coalesce(field_col(s).cast("string"), F.lit("")))
+                  for s in sources],
+                F.lit("|"),
+            )
+            return df.withColumn(target, fn(src)), None
+        if len(sources) == 1:
+            return df.withColumn(
+                target, fn(field_col(sources[0]).cast("string"))), None
+        # non-concatenated multi-source: each PRESENT source overwrites
+        # the target in sorted order → last present source wins
+        return df.withColumn(
+            target,
+            F.coalesce(*[
+                F.when(field_col(s).isNotNull(),
+                       fn(field_col(s).cast("string")))
+                for s in reversed(sources)
+            ]),
+        ), None
 
 
 @register("anonymize")

@@ -109,7 +109,13 @@ class GrokStage(Stage):
                 extracted = F.regexp_extract(src, java_pat, gidx)
                 val = F.when(F.col(_MATCHED) & (extracted != F.lit("")), extracted)
                 if typ == "int":
-                    val = val.try_cast("long")
+                    # Ruby to_i parity with the pandas path: exact for
+                    # integer strings, TRUNCATES float captures
+                    # (%{NUMBER:x:int} on '1.5' → 1, not null)
+                    val = F.coalesce(
+                        val.try_cast("long"),
+                        val.try_cast("double").try_cast("long"),
+                    )
                 elif typ == "float":
                     val = val.try_cast("double")
                 if fld in df.columns and fld not in overwrite:

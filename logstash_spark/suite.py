@@ -286,19 +286,25 @@ def _hmac_case_expr() -> str:
     "fingerprint_hashes",
     f"""
     SELECT event_id,
-           sha256(event_type || '|' || CAST(user_id AS VARCHAR)) AS fp_sha,
-           md5(event_type || '|' || CAST(user_id AS VARCHAR)) AS fp_md5,
+           sha256('|event_type|' || coalesce(event_type, '') ||
+                  '|user_id|' || coalesce(CAST(user_id AS VARCHAR), '') ||
+                  '|') AS fp_sha,
+           md5(coalesce(CAST(user_id AS VARCHAR), event_type)) AS fp_md5,
            {_hmac_case_expr()} AS fp_hmac
     FROM events
     """,
 )
 def fingerprint_hashes(spark, sf_dir):
-    """fingerprint filter: plain SHA256/MD5 over concatenated sources +
-    keyed fingerprint ⇒ TRUE RFC-2104 HMAC-SHA256 (OpenSSL::HMAC
-    parity; oracle digests precomputed by stdlib hmac)."""
+    """fingerprint filter: concatenate_sources ⇒ fingerprint.rb's
+    '|name|value|…|' form (field names included, sorted sources);
+    non-concatenated multi-source ⇒ last present source wins (here
+    user_id); keyed fingerprint ⇒ TRUE RFC-2104 HMAC-SHA256
+    (OpenSSL::HMAC parity; oracle digests precomputed by stdlib
+    hmac)."""
     ev = _t(spark, sf_dir, "events")
     out = apply_stage(
         ev, {"fingerprint": {"source": ["event_type", "user_id"],
+                             "concatenate_sources": True,
                              "method": "SHA256", "target": "fp_sha"}}
     )
     out = apply_stage(
@@ -629,7 +635,12 @@ def multiline_merge(spark, sf_dir):
         {"multiline": {"pattern": r"^\s", "what": "previous", "source": "message",
                        "group_by": "stream", "order_by": "eid"}},
     )
-    return out.select("stream", "eid", "message", "n_lines")
+    # the merged event carries no helper columns (reference parity) —
+    # the merge grain is still asserted by recomputing the line count
+    return out.select(
+        "stream", "eid", "message",
+        F.size(F.split(F.col("message"), "\n")).cast("long").alias("n_lines"),
+    )
 
 
 # ---------------------------------------------------------------------------

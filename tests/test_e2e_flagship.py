@@ -66,7 +66,10 @@ def reference_pipeline(spark) -> pd.DataFrame:
                 break
         dom = ddict.loc[domain] if domain in ddict.index else None
         tags = [] if dom is not None else ["_translation_miss"]
-        fingerprint = hashlib.sha256((url + "|" + text).encode()).hexdigest()
+        # fingerprint.rb concatenate_sources form: '|name|value|…|'
+        # over SORTED source names
+        fingerprint = hashlib.sha256(
+            (f"|text|{text}|url|{url}|").encode()).hexdigest()
         rows.append(
             {
                 "url": url, "text": text, "domain": domain, "path": path, "tld": tld,

@@ -8,3 +8,66 @@ def test_grok_unsupported_re_construct_message():
 
     with pytest.raises(ValueError, match="unsupported by this Python re"):
         compile_grok(r"(?<name>\p{L}+)", {})
+
+
+def test_grok_zero_capture_pattern_is_match_test():
+    """A pure match-test pattern (no captures at all) must not crash
+    the batch executor — grok.rb configs use it for tagging."""
+    import pandas as pd
+    from logstash_spark.grok import compile_grok, grok_extract_batch
+
+    cg = compile_grok("%{IPV4}")
+    out = grok_extract_batch(pd.Series(["1.2.3.4", "nope", None]), [cg])
+    assert list(out["_matched"]) == [True, False, False]
+
+
+def test_grok_int_conversion_truncates_floats():
+    """grok.rb :int is Ruby to_i — '1.5' → 1 (truncate), exact for
+    integer strings; non-numeric → null (documented try_ deviation).
+    One dirty row must never abort the Arrow batch."""
+    import pandas as pd
+    from logstash_spark.grok import compile_grok, grok_extract_batch
+
+    cg = compile_grok("%{NUMBER:x:int}")
+    out = grok_extract_batch(pd.Series(["1.5", "42", "-3.9"]), [cg])
+    assert list(out["x"]) == [1, 42, -3]
+    # exact at int64 edge (no float round-trip for integral strings)
+    big = "9223372036854775807"
+    out = grok_extract_batch(pd.Series([big]), [cg])
+    assert out.loc[0, "x"] == 9223372036854775807
+
+
+def test_grok_all_optional_captures_still_match():
+    """A row that MATCHES a pattern whose captures are all optional-
+    and-absent is a match (no _grokparsefailure), grok.rb parity."""
+    import pandas as pd
+    from logstash_spark.grok import compile_grok, grok_extract_batch
+
+    cg = compile_grok(r"foo(?: %{WORD:w})?")
+    out = grok_extract_batch(pd.Series(["foo", "foo bar", "zzz"]), [cg])
+    assert list(out["_matched"]) == [True, True, False]
+    assert out.loc[1, "w"] == "bar" and pd.isna(out.loc[0, "w"])
+
+
+def test_grok_inline_named_captures_registered():
+    """Inline named captures — Oniguruma (?<name>…) in user patterns
+    and (?P<name>…) inside library patterns (RAILS family) — are output
+    fields exactly like %{X:name} refs."""
+    import pandas as pd
+    from logstash_spark.grok import compile_grok, grok_extract_batch, lower_multi_capture
+
+    cg = compile_grok(r"(?<queue_id>[0-9A-F]{10,11}):")
+    assert "queue_id" in cg.fields
+    out = grok_extract_batch(pd.Series(["BEF25A72965: ok"]), [cg])
+    assert out.loc[0, "queue_id"] == "BEF25A72965"
+    # the library RAILS controller pattern carries inline captures
+    cg = compile_grok("%{RCONTROLLER}")
+    out = grok_extract_batch(pd.Series(["Users#show"]), [cg])
+    assert out.loc[0, "controller"] == "Users" and out.loc[0, "action"] == "show"
+    # and the native lowering handles the translated named group
+    low = lower_multi_capture(r"id=(?<qid>\w+)")
+    assert low is not None and low[1][0][0] == "qid"
+    # lookbehind is NOT a named group — must survive translation
+    cg = compile_grok(r"(?<=-)%{WORD:w}")
+    out = grok_extract_batch(pd.Series(["-abc"]), [cg])
+    assert out.loc[0, "w"] == "abc"

@@ -104,7 +104,8 @@ def test_multiline_previous(spark):
     assert rows[0].message == "2026-01-01 start of event\n  continuation one\n  continuation two"
     assert "multiline" in rows[0].tags
     assert rows[1].message == "2026-01-01 second event"
-    assert rows[2].file == "g" and rows[2].n_lines == 1
+    assert rows[2].file == "g" and "\n" not in rows[2].message
+    assert "n_lines" not in out.columns  # helper must not leak
 
 
 def test_metrics_stage(spark):

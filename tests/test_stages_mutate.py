@@ -88,9 +88,21 @@ def test_fingerprint_methods(spark):
 def test_fingerprint_concat_sources(spark):
     import hashlib
 
-    df = spark.createDataFrame([(1, "a", "b")], "id int, x string, y string")
-    out = apply_stage(df, {"fingerprint": {"source": ["x", "y"], "method": "SHA1"}})
-    assert out.collect()[0].fingerprint == hashlib.sha1(b"a|b").hexdigest()
+    df = spark.createDataFrame(
+        [(1, "a", "b"), (2, "a", None)], "id int, x string, y string")
+    # concatenate_sources=true: fingerprint.rb hashes '|name|value|…|'
+    # over SORTED sources, nil rendering empty
+    out = apply_stage(df, {"fingerprint": {
+        "source": ["y", "x"], "concatenate_sources": True, "method": "SHA1"}})
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].fingerprint == hashlib.sha1(b"|x|a|y|b|").hexdigest()
+    assert rows[2].fingerprint == hashlib.sha1(b"|x|a|y||").hexdigest()
+    # default (no concatenation): each present source sets the target in
+    # sorted order — last PRESENT source wins
+    out = apply_stage(df, {"fingerprint": {"source": ["y", "x"], "method": "SHA1"}})
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].fingerprint == hashlib.sha1(b"b").hexdigest()
+    assert rows[2].fingerprint == hashlib.sha1(b"a").hexdigest()
 
 
 def test_urldecode(spark):
@@ -284,3 +296,25 @@ def test_anonymize_ipv4_network(spark):
                                        "algorithm": "IPV4_NETWORK"}})
     with pytest.raises(ValueError, match="key"):
         apply_stage(df, {"anonymize": {"fields": ["ip"]}})
+
+
+def test_gsub_ruby_backrefs_and_dollar(spark):
+    """mutate.rb gsub replacements are Ruby syntax: \\1 backrefs must
+    swap groups (not emit literal '1') and a literal '$' must not throw
+    Java's 'Illegal group reference'."""
+    df = spark.createDataFrame([(1, "12-34", "x")], "id int, a string, b string")
+    out = apply_stage(df, {"mutate": {"gsub": ["a", r"(\d+)-(\d+)", r"\2-\1"]}})
+    assert out.collect()[0].a == "34-12"
+    out = apply_stage(df, {"mutate": {"gsub": ["b", "x", "$$$"]}})
+    assert out.collect()[0].b == "$$$"
+
+
+def test_convert_boolean_dirty_value_nulls(spark):
+    """convert => boolean on an unconvertible value yields null (the
+    documented try_ deviation; a static column can't keep the original
+    string) — and never throws."""
+    df = spark.createDataFrame(
+        [(1, "true"), (2, "enabled"), (3, "NO")], "id int, f string")
+    out = apply_stage(df, {"mutate": {"convert": {"f": "boolean"}}})
+    rows = {r.id: r.f for r in out.collect()}
+    assert rows == {1: True, 2: None, 3: False}
