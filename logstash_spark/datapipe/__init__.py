@@ -5,12 +5,18 @@ needs dedup / similarity / text-quality / multimodal plumbing. These
 are first-class engine components (graded alongside SURVEY §2):
 
   dedup.py       exact, MinHash+LSH, SimHash, n-gram Jaccard,
-                 embedding-cosine near-dup
-  similarity.py  brute-force cosine top-k + LSH-bucketed ANN
+                 embedding-cosine near-dup, connected components
+  similarity.py  brute-force cosine top-k + LSH/IVF-bucketed ANN with
+                 partition-pruned materialized indexes
   textstats.py   language-ID, quality scoring, token counting,
                  rolling-hash fingerprinting
-  multimodal.py  binary media columns: schema + Arrow plumbing
-                 (decode stubbed — no media libs in this container)
+  skew.py        salted two-phase aggregation for skewed keys
+  multimodal.py  binary media columns: schema + Arrow plumbing with
+                 REAL pure-numpy decoders for BMP/WAV and baseline
+                 JPEG (jpeg_codec.py); PIL is the fast path when the
+                 cluster ships it; mp4 remains a declared stub
+  jpeg_codec.py  baseline sequential JPEG (T.81) decoder + spec
+                 encoder used as its differential oracle
 """
 
 from . import dedup, multimodal, similarity, textstats  # noqa: F401

@@ -269,9 +269,14 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-Jaccard on candidate pairs → pairs ≥ threshold."""
-    sh = df.select(
+    """Exact shingle-Jaccard on candidate pairs → pairs ≥ threshold.
+
+    ``shingles`` (schema ``(id, sh)``) lets a caller that already built
+    the shingle relation pass it in — the split/shingle chain is the
+    dominant per-row cost and must not recompute per probe join."""
+    sh = shingles if shingles is not None else df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
     )
     j = (
@@ -377,7 +382,18 @@ def simhash_candidates(
 ) -> DataFrame:
     """Chunk-bucketed candidate join: split the 64-bit sig into 4
     16-bit chunks — any pair within hamming ≤ 3 shares ≥1 exact chunk
-    (pigeonhole). Hamming via native bit_count(a ^ b)."""
+    (pigeonhole). Hamming via native bit_count(a ^ b).
+
+    The 4-chunk blocking guarantees recall only for hamming ≤ 3: at 4
+    differing bits the pigeonhole can place one flip in every chunk and
+    the true pair never meets. Rejected loudly rather than silently
+    under-recalling (a wider radius needs more/overlapping chunks)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"simhash 4×16-bit chunk blocking guarantees recall only for "
+            f"max_hamming <= 3 (got {max_hamming}); raise the chunk count "
+            f"or use minhash for wider radii"
+        )
     chunks = df.select(
         F.col(id_col).alias("id"),
         F.col(sim_col).alias("sig"),
@@ -453,7 +469,7 @@ def ngram_jaccard_pairs(
     is the shingle itself."""
     sh = _spread(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
-    )
+    ).persist()  # one shingle pass feeds the index AND both verify probes
     inv = sh.select("id", F.explode("sh").alias("shingle"))
     w = Window.partitionBy("shingle")
     annotated = inv.withColumn("__df", F.count(F.lit(1)).over(w)).withColumn(
@@ -470,7 +486,8 @@ def ngram_jaccard_pairs(
         .select(F.col("__rep").alias("a"), F.col("id").alias("b"))
     )
     cands = pairs_cold.unionByName(pairs_hot).distinct()
-    return jaccard_verify(df, cands, id_col, text_col, shingle_k, threshold)
+    return jaccard_verify(df, cands, id_col, text_col, shingle_k, threshold,
+                          shingles=sh)
 
 
 def ngram_shingle_stats(
@@ -516,14 +533,33 @@ def connected_components(
     must be truncated every round, not merely persisted. Uses the
     session's reliable checkpoint dir when one is configured (the
     cluster story — survives executor loss), else localCheckpoint.
+
+    Storage stays O(1) in rounds, not O(rounds): a localCheckpoint
+    pins its blocks in executor storage and neither unpersist() nor
+    driver GC frees them promptly (verified empirically), so each
+    superseded round's checkpoint RDD is released EXPLICITLY once the
+    next round has materialized and the convergence check has read it
+    — without this, a deep graph evicts the edges cache with dead
+    label snapshots. (Reliable-checkpoint FILES are left to the
+    context cleaner; only the block-manager entries are freed here.)
     """
     from pyspark.storagelevel import StorageLevel
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        sc = df.sparkSession.sparkContext
+    sc = pairs.sparkSession.sparkContext
+
+    def _truncate(df: DataFrame) -> tuple[DataFrame, int]:
         if sc._jsc.sc().getCheckpointDir().isDefined():
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            out = df.checkpoint(eager=True)
+        else:
+            out = df.localCheckpoint(eager=True)
+        # the checkpointed plan is a LogicalRDD; its RDD id keys the
+        # block-manager entry we must release when the round is over
+        return out, int(out._jdf.queryExecution().analyzed().rdd().id())
+
+    def _release(rdd_id: int) -> None:
+        m = sc._jsc.getPersistentRDDs()
+        if m.containsKey(rdd_id):
+            m.get(rdd_id).unpersist()
 
     edges = (
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
@@ -532,7 +568,7 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
-        labels = _truncate(
+        labels, labels_id = _truncate(
             edges.select(F.col("s").alias("id")).distinct().withColumn("comp", F.col("id"))
         )
         for _ in range(max_iter):
@@ -541,7 +577,7 @@ def connected_components(
                 edges.join(labels.withColumnRenamed("id", "d"), "d")
                 .select(F.col("s").alias("id"), "comp")
             )
-            new_labels = _truncate(
+            new_labels, new_id = _truncate(
                 labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
             )
             changed = (
@@ -549,7 +585,10 @@ def connected_components(
                 .filter(F.col("comp") != F.col("old"))
                 .count()
             )
-            labels = new_labels
+            # the old round's checkpoint has now been read for the last
+            # time (new_labels is materialized, convergence checked)
+            _release(labels_id)
+            labels, labels_id = new_labels, new_id
             if changed == 0:
                 break
         return labels

@@ -303,6 +303,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((comp_ids.index(cs), tt >> 4, tt & 15))
+            if len(scan) != len(frame[2]):
+                # non-interleaved (one scan per component) is legal
+                # baseline T.81 but this decoder only does the single
+                # interleaved scan — raising keeps the contract (decode
+                # cleanly or fall through to PIL/stub), never garbage
+                raise JpegError(
+                    f"non-interleaved scan ({len(scan)} of {len(frame[2])} "
+                    f"components) unsupported by the pure decoder"
+                )
             return _decode_scan(
                 d, pos + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
                 restart_interval,

@@ -112,7 +112,10 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if not top_down:
         rows = rows[::-1]
     rgb = rows[:, :, 2::-1] if nch >= 3 else rows  # BGR(A) → RGB
-    return w, h, nch, np.ascontiguousarray(rgb[:, :, :3])
+    # the alpha plane is dropped from the returned array, so report the
+    # RETURNED channel count — a 32-bpp source otherwise emits
+    # channels=4 next to a checksum/embedding computed over 3
+    return w, h, min(nch, 3), np.ascontiguousarray(rgb[:, :, :3])
 
 
 def image_grid_embedding(rgb: np.ndarray, grid: int = 4) -> np.ndarray:

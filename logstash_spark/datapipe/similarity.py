@@ -215,7 +215,15 @@ def refine_ivf_centroids(
         )
         nxt = cents.copy()
         for r in rows:
-            nxt[r["__ivf_list"]] = [r[f"c{i}"] for i in range(cents.shape[1])]
+            # a null/NaN embedding row assigns to a NULL list; r[...]
+            # would be None and nxt[None] is numpy NEWAXIS indexing —
+            # it would silently overwrite the whole centroid matrix
+            if r["__ivf_list"] is None:
+                continue
+            vals = [r[f"c{i}"] for i in range(cents.shape[1])]
+            if any(v is None for v in vals):
+                continue  # empty/degenerate list keeps its centroid
+            nxt[int(r["__ivf_list"])] = vals
         cents = nxt
     return cents
 

@@ -72,7 +72,10 @@ def salted_group_count(
         out["n"] = [int(pdf["n"].sum())]
         return pd.DataFrame(out)
 
-    keys_ddl = ", ".join(f"{k} string" for k in key_cols)
+    # derive key types from the input — hardcoding string breaks the
+    # Arrow conversion the moment a key column is long/int/date
+    dtypes = dict(df.dtypes)
+    keys_ddl = ", ".join(f"{k} {dtypes[k]}" for k in key_cols)
     return salted_apply_in_pandas(
         df, key_cols, partial, merge,
         partial_schema=f"{keys_ddl}, n long",

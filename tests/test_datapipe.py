@@ -341,3 +341,43 @@ def test_ivf_indexed_partition_pruning(spark, sf_dir, tmp_path):
 
     m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "ivf_list" in m.group(1)
+
+
+def test_connected_components_releases_superseded_checkpoints(spark):
+    """Storage must stay O(1) in rounds: superseded label checkpoints
+    are released explicitly (localCheckpoint blocks are pinned —
+    neither unpersist() nor GC frees them promptly)."""
+    sc = spark.sparkContext
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)], "a long, b long")
+    labels = dedup.connected_components(pairs)
+    labels.count()
+    after = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    # a 9-diameter chain runs ~10 rounds; at most the FINAL label
+    # checkpoint (+ nothing else from this job) may remain pinned
+    leaked = after - before
+    assert len(leaked) <= 1, f"superseded checkpoints leaked: {leaked}"
+
+
+def test_simhash_wide_radius_rejected(spark):
+    """4x16-bit chunk blocking only guarantees recall for hamming <= 3 —
+    a wider radius must be a loud error, not silent under-recall."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    sdf = dedup.simhash_column(df)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_candidates(sdf, max_hamming=4).collect()
+
+
+def test_refine_ivf_centroids_null_embedding_row(spark):
+    """A null/NaN embedding assigns to a NULL inverted list; the
+    refinement must skip it — numpy nxt[None] indexing would silently
+    overwrite the whole centroid matrix."""
+    import numpy as np
+
+    rows = [(i, [float(i % 3), 1.0]) for i in range(20)] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = np.array([[0.0, 1.0], [2.0, 1.0]])
+    out = similarity.refine_ivf_centroids(df, cents, iters=1)
+    assert out.shape == (2, 2)
+    # both centroids refined from real rows — neither equals the other
+    assert not np.allclose(out[0], out[1])
