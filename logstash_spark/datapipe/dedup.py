@@ -470,6 +470,7 @@ def ngram_jaccard_pairs(
     sh = _spread(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
     ).persist()  # one shingle pass feeds the index AND both verify probes
+    _LIVE_CACHES.append(sh)  # released by release_dedup_caches()
     inv = sh.select("id", F.explode("sh").alias("shingle"))
     w = Window.partitionBy("shingle")
     annotated = inv.withColumn("__df", F.count(F.lit(1)).over(w)).withColumn(
@@ -515,6 +516,142 @@ def ngram_shingle_stats(
         "max_df": int(row["max_df"] or 0),
         "cap": df_cap,
     }
+
+
+# --------------------------------------------- exact duplicated spans
+# Substring-level exact dedup accounting (the "Deduplicating Training
+# Data Makes Language Models Better" operation, doc-grain): every
+# k-token sliding window is hashed; a window whose span recurs —
+# anywhere in the corpus, including inside the same document — is a
+# duplicated span. Emitted per doc as (total_windows, dup_windows,
+# dup_frac) so a pipeline can drop or down-weight documents whose text
+# is mostly boilerplate (nav bars, license headers, mirrored articles).
+#
+# Scale shape (the reason this is NOT the suffix-array formulation):
+# windows explode to one row per position (rows ≈ tokens — linear),
+# span frequency is ONE hash-partitioned groupBy with map-side partial
+# aggregation, and the flag comes back via an equi-join on the span
+# hash — AQE-skew-splittable, never a pair join, so a span shared by m
+# documents costs O(m) rows, not O(m²). A suffix array finds variable-
+# length maximal repeats but needs global ordering; fixed-k windows
+# keep the whole job in two shuffles and are the standard web-corpus
+# practice (k ≈ 50 BPE tokens upstream; word-grain here).
+
+
+def span_windows(col, k: int = 8):
+    """Positional k-word sliding windows, fully native:
+    array<struct<pos:int, h:bigint>> — ``h`` = xxhash64 of the
+    space-joined window. Documents shorter than k words have no
+    k-window (empty array), matching the substring-dedup convention
+    (a short doc cannot contain a length-k duplicate)."""
+    ws = F.split(F.trim(col), r"\s+")
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    win = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.xxhash64(F.array_join(F.slice(ws, i, k), " ")).alias("h"),
+        ),
+    )
+    return F.when(n >= k, win).otherwise(
+        F.array().cast("array<struct<pos:int,h:bigint>>")
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_k: int = 8,
+    min_occurrences: int = 2,
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """Per-document duplicated-span accounting:
+    (id_col, total_windows, dup_windows, dup_frac).
+
+    A window is duplicated when its span hash occurs >= min_occurrences
+    times corpus-wide (``cross_doc_only=True`` counts DISTINCT
+    documents instead — self-repetition inside one doc then doesn't
+    count). Docs shorter than span_k words report (0, 0, 0.0).
+
+    Plan: explode windows (linear in tokens) → groupBy(h) span
+    frequency (map-side combine) → equi-join back on h → per-doc
+    aggregate → left join to the full id set. Two shuffles + the
+    join; no candidate pairs exist anywhere.
+    """
+    win = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(span_windows(F.col(text_col), span_k)).alias("w"),
+        )
+        .select("id", F.col("w.h").alias("h"))
+        .persist()  # one window pass feeds the freq build AND the join back
+    )
+    _LIVE_CACHES.append(win)
+    occ = F.count_distinct(F.col("id")) if cross_doc_only else F.count(F.lit(1))
+    freq = win.groupBy("h").agg(occ.alias("n_occ"))
+    per_doc = (
+        win.join(freq, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("total_windows"),
+            F.sum(
+                (F.col("n_occ") >= F.lit(min_occurrences)).cast("long")
+            ).alias("dup_windows"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("total_windows", F.lit(0)).alias("total_windows"),
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.when(
+                F.coalesce("total_windows", F.lit(0)) > 0,
+                F.col("dup_windows") / F.col("total_windows"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
+def top_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_k: int = 8,
+    limit: int = 100,
+) -> DataFrame:
+    """The most-repeated spans THEMSELVES (span text, occurrence count,
+    distinct-doc count), descending — the inspection companion to
+    duplicated_span_stats (what IS the boilerplate?). Groups on the
+    span string (not the hash) so the output is directly readable;
+    ordered by (count desc, span) for a deterministic cut at
+    ``limit``. One explode + one groupBy; the top-N is a TakeOrdered,
+    not a full sort."""
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(span_k - 1), F.lit(1)))
+    spans = F.when(
+        n >= span_k,
+        F.transform(idx, lambda i: F.array_join(F.slice(ws, i, span_k), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(spans).alias("span"))
+        .groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .orderBy(F.col("n_occ").desc(), F.col("span"))
+        .limit(limit)
+    )
 
 
 # ------------------------------------------- connected-component groups

@@ -219,3 +219,96 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return text_quality_stats(df, text_col).withColumn(
         "fingerprint_rolling", rolling_fingerprint(F.col(text_col))
     )
+
+
+# ------------------------------------------ unigram LM quality scoring
+def unigram_vocab(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus unigram frequency table ``(w, cnt)`` — the "LM" of the
+    CCNet-style quality filter. One explode + one hash-partitioned
+    groupBy (map-side partial aggregation: the shuffle carries one row
+    per distinct word per task, not per token). ``min_count`` prunes
+    the hapax tail, which bounds the vocabulary a web corpus would
+    otherwise grow without limit (typo/URL noise); pruned words score
+    as out-of-vocabulary."""
+    vocab = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if min_count > 1:
+        vocab = vocab.filter(F.col("cnt") >= min_count)
+    return vocab
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+    alpha: float = 1.0,
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-document mean unigram log-probability + perplexity under an
+    additively-smoothed corpus LM — the CCNet/Wikipedia-LM quality
+    signal at unigram grain: gibberish and boilerplate-free prose
+    separate cleanly on mean log p(w).
+
+    p(w) = (cnt(w) + alpha) / (T + alpha * (V + 1)) with one reserved
+    out-of-vocabulary slot (unseen or hapax-pruned words take
+    cnt = 0); T = total in-vocab tokens, V = vocabulary size. Returns
+    (id_col, n_tokens, mean_logprob, perplexity); an empty document
+    reports n_tokens = 0 with null score.
+
+    Plan: vocab is trained on the corpus itself unless a held-out
+    ``vocab`` (from unigram_vocab) is supplied — self-training is one
+    extra groupBy. Scoring is explode → LEFT join on the word →
+    per-doc aggregate. The (T, V) normalizer is a two-scalar
+    aggregate (driver-side literals baked into the plan — the audited
+    scalar-collect pattern). The word join is an equi-join Spark
+    auto-broadcasts when the pruned vocab fits the threshold; above
+    it, a shuffle join on the word key with AQE skew splitting (stop
+    words are the classic hot keys)."""
+    if vocab is None:
+        # self-trained vocab feeds the (T, V) normalizer AND the score
+        # join — persist so the corpus is scanned once for it, not
+        # twice (released by dedup.release_dedup_caches(), the datapipe
+        # family's one cache-release hook)
+        from .dedup import _LIVE_CACHES
+
+        vocab = unigram_vocab(df, text_col, min_count).persist()
+        _LIVE_CACHES.append(vocab)
+    totals = vocab.agg(
+        F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    t_tokens = int(totals["t"] or 0)
+    v_size = int(totals["v"] or 0)
+    denom = float(t_tokens) + alpha * (v_size + 1)
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("w")
+    ).filter(F.length("w") > 0)
+    logp = F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(alpha))
+        / F.lit(denom)
+    )
+    per_doc = (
+        toks.join(vocab, "w", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(logp).alias("mean_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.col("mean_logprob"),
+            F.exp(-F.col("mean_logprob")).alias("perplexity"),
+        )
+    )

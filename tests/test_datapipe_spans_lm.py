@@ -1,0 +1,190 @@
+"""Round-5 training-data ops: exact duplicated-span accounting and
+unigram-LM quality scoring — each differential-tested against an
+independent pure-Python reference (the datapipe oracle stance: value
+checks, never just row counts)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_spark.datapipe import dedup, textstats
+
+
+# --------------------------------------------------------- references
+def _ref_span_stats(rows, k, min_occ, cross_doc):
+    occ: Counter = Counter()
+    docs_per: dict[str, set] = defaultdict(set)
+    wins_per_doc: dict[int, list[str]] = {}
+    for did, text in rows:
+        ws = re.split(r"\s+", text.strip()) if text and text.strip() else []
+        wins = (
+            [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+            if len(ws) >= k
+            else []
+        )
+        wins_per_doc[did] = wins
+        for s in wins:
+            occ[s] += 1
+            docs_per[s].add(did)
+    out = {}
+    for did, wins in wins_per_doc.items():
+        dup = sum(
+            1
+            for s in wins
+            if (len(docs_per[s]) if cross_doc else occ[s]) >= min_occ
+        )
+        out[did] = (len(wins), dup, dup / len(wins) if wins else 0.0)
+    return out
+
+
+def _ref_unigram(rows, score_rows=None, alpha=1.0, min_count=1):
+    def toks(t):
+        return [w for w in re.split(r"\s+", t.lower().strip()) if w] if t else []
+
+    cnt: Counter = Counter()
+    for _, t in rows:
+        cnt.update(toks(t))
+    vocab = {w: c for w, c in cnt.items() if c >= min_count}
+    t_total = sum(vocab.values())
+    denom = t_total + alpha * (len(vocab) + 1)
+    out = {}
+    for did, t in score_rows if score_rows is not None else rows:
+        ws = toks(t)
+        if not ws:
+            out[did] = (0, None, None)
+            continue
+        mean_lp = sum(
+            math.log((vocab.get(w, 0) + alpha) / denom) for w in ws
+        ) / len(ws)
+        out[did] = (len(ws), mean_lp, math.exp(-mean_lp))
+    return out
+
+
+# ------------------------------------------------------------ fixtures
+BOILER = "all rights reserved contact us about privacy terms of service"
+
+SPAN_ROWS = [
+    (0, f"alpha beta gamma delta {BOILER} epsilon zeta eta theta iota"),
+    (1, f"one two three four {BOILER} five six seven eight nine ten"),
+    (2, "entirely unique text with no repeated span content whatsoever here"),
+    (3, "loop loop loop loop loop loop loop loop loop loop loop loop"),
+    (4, "short doc"),  # shorter than k: no windows
+    (5, None),  # null text: no windows
+]
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    return spark.createDataFrame(SPAN_ROWS, "doc_id long, text string")
+
+
+# ---------------------------------------------------- duplicated spans
+@pytest.mark.parametrize("cross_doc", [False, True])
+def test_duplicated_span_stats_matches_reference(spark, span_docs, cross_doc):
+    k = 8
+    got = {
+        r.doc_id: (r.total_windows, r.dup_windows, r.dup_frac)
+        for r in dedup.duplicated_span_stats(
+            span_docs, span_k=k, cross_doc_only=cross_doc
+        ).collect()
+    }
+    dedup.release_dedup_caches()
+    want = _ref_span_stats(SPAN_ROWS, k, 2, cross_doc)
+    want[5] = (0, 0, 0.0)  # null text: no windows, zero-filled
+    assert set(got) == set(want)
+    for did in want:
+        tw, dw, frac = want[did]
+        assert got[did][0] == tw and got[did][1] == dw, (did, got[did], want[did])
+        assert got[did][2] == pytest.approx(frac, abs=1e-12)
+    # semantics spot-checks: doc 3 is pure self-repetition — every
+    # window duplicated corpus-wide, NONE under cross-doc-only; docs
+    # 0/1 share only the boilerplate run
+    if cross_doc:
+        assert got[3][1] == 0
+        assert 0 < got[0][1] < got[0][0]
+    else:
+        assert got[3] == (got[3][0], got[3][0], 1.0)
+    assert got[2] == (got[2][0], 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_top_duplicated_spans(spark, span_docs):
+    out = dedup.top_duplicated_spans(span_docs, span_k=8, limit=5).collect()
+    assert out, "boilerplate must surface"
+    # the hottest span: doc 3's 12x 'loop' yields 5 windows of the same
+    # span ('loop'*8) → n_occ 5 from ONE doc; the shared boilerplate
+    # run appears in 2 docs
+    top = out[0]
+    assert top.span == " ".join(["loop"] * 8)
+    assert top.n_occ == 5 and top.n_docs == 1
+    cross = [r for r in out if r.n_docs == 2]
+    assert cross and all(r.span in BOILER for r in cross)
+
+
+def test_duplicated_span_skew_linear(spark):
+    # 500 identical docs: the hot span hash is ONE groupBy key and the
+    # join fans out 500 rows per window — linear, no pair join anywhere
+    base = "repeated boilerplate sentence that every single page carries today"
+    df = spark.createDataFrame(
+        [(i, base) for i in range(500)] + [(999, "one unique document body")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.dup_frac for r in
+           dedup.duplicated_span_stats(df, span_k=8).collect()}
+    dedup.release_dedup_caches()
+    assert got[0] == 1.0 and got[499] == 1.0
+    assert got[999] == 0.0
+
+
+# ------------------------------------------------------- unigram LM
+LM_ROWS = [
+    (0, "the cat sat on the mat and the dog sat too"),
+    (1, "the dog ran over the hill and the cat ran home"),
+    (2, "Zyzzyva quokka axolotl wombat capybara pangolin"),  # rare words
+    (3, "the the the the the"),  # max-likelihood tokens
+    (4, ""),  # empty: null score
+]
+
+
+def test_unigram_logprob_matches_reference(spark):
+    df = spark.createDataFrame(LM_ROWS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_logprob, r.perplexity)
+        for r in textstats.unigram_logprob(df).collect()
+    }
+    dedup.release_dedup_caches()  # self-trained vocab cache
+    want = _ref_unigram(LM_ROWS)
+    assert set(got) == set(want)
+    for did, (n, lp, ppl) in want.items():
+        assert got[did][0] == n
+        if lp is None:
+            assert got[did][1] is None and got[did][2] is None
+        else:
+            assert got[did][1] == pytest.approx(lp, rel=1e-9)
+            assert got[did][2] == pytest.approx(ppl, rel=1e-9)
+    # gibberish scores worse than common-word prose; stopword soup best
+    assert got[2][1] < got[0][1] < got[3][1]
+
+
+def test_unigram_logprob_heldout_vocab_and_pruning(spark):
+    train = spark.createDataFrame(LM_ROWS[:2], "doc_id long, text string")
+    score = spark.createDataFrame(LM_ROWS[2:4], "doc_id long, text string")
+    vocab = textstats.unigram_vocab(train, min_count=2)
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_logprob)
+        for r in textstats.unigram_logprob(score, vocab=vocab).collect()
+    }
+    want = _ref_unigram(LM_ROWS[:2], score_rows=LM_ROWS[2:4], min_count=2)
+    for did in got:
+        assert got[did][0] == want[did][0]
+        assert got[did][1] == pytest.approx(want[did][1], rel=1e-9)
+    # doc 2 is 100% OOV under the held-out vocab: every token takes the
+    # reserved smoothing slot, so its mean logprob is exactly log(alpha/denom)
+    tv = vocab.agg(F.sum("cnt"), F.count(F.lit(1))).collect()[0]
+    denom = float(tv[0]) + 1.0 * (tv[1] + 1)
+    assert got[2][1] == pytest.approx(math.log(1.0 / denom), rel=1e-9)
