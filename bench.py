@@ -112,6 +112,47 @@ def bench_apache(spark, logs_path):
     return dict(n.asDict())
 
 
+def bench_span_stats(spark):
+    """Substring-level dedup accounting over the sf documents table —
+    forces the dup counters so the groupBy+join actually evaluate."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.datapipe import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    row = (
+        dedup.duplicated_span_stats(docs, span_k=8)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("total_windows").alias("tw"),
+            F.sum("dup_windows").alias("dw"),
+        )
+        .collect()[0]
+    )
+    dedup.release_dedup_caches()
+    return dict(row.asDict())
+
+
+def bench_unigram_logprob(spark):
+    """Self-trained unigram-LM scoring over the sf documents table."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.datapipe import dedup, textstats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    row = (
+        textstats.unigram_logprob(docs)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").alias("toks"),
+            F.sum("mean_logprob").alias("lp"),
+        )
+        .collect()[0]
+    )
+    dedup.release_dedup_caches()
+    return dict(row.asDict())
+
+
 def main():
     from logstash_spark.session import get_spark
     from logstash_spark import suite
@@ -154,6 +195,8 @@ def main():
         ("flagship_e2e_fatpages", lambda: bench_flagship(
             spark, fat_path, N_FAT, f"{STAGE_DIR}/flagship_fat_run")),
         ("apache_grok_complex", lambda: bench_apache(spark, logs_path)),
+        ("dedup_span_stats", lambda: bench_span_stats(spark)),
+        ("unigram_logprob", lambda: bench_unigram_logprob(spark)),
     ] + [
         (name, lambda f=suite.QUERIES[name]: f(spark, SF_DIR).collect())
         for name in suite_queries

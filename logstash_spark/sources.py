@@ -316,16 +316,37 @@ def _read_avro(
         schema = avro_codec.peek_schema(path)
     ddl = avro_codec.spark_ddl(schema)
     field_names = [f["name"] for f in schema["fields"]]
+    # avro.rb `tag_on_failure`: upstream default (false) RAISES on a
+    # corrupt payload; true tags the event `_avroparsefailure` and
+    # moves on. Here the unit is a file: opt-in yields ONE all-null
+    # row tagged per corrupt file (tags column appended to the schema)
+    # instead of aborting the task — the operational knob for a
+    # many-rolled-files corpus where one bad file must not kill a run.
+    tag_on_failure = bool(args.get("tag_on_failure", False))
+    if tag_on_failure:
+        ddl += ", tags array<string>"
 
     def decode_files(batches):
         import pandas as pd
 
         for pdf in batches:
             for raw in pdf["content"]:
-                _, rows = avro_codec.read_container(bytes(raw))
-                yield pd.DataFrame(
-                    {n: [r.get(n) for r in rows] for n in field_names}
-                )
+                try:
+                    _, rows = avro_codec.read_container(bytes(raw))
+                except Exception:  # AvroError/IndexError/zlib.error
+                    if not tag_on_failure:
+                        raise
+                    yield pd.DataFrame(
+                        {
+                            **{n: [None] for n in field_names},
+                            "tags": [["_avroparsefailure"]],
+                        }
+                    )
+                    continue
+                cols = {n: [r.get(n) for r in rows] for n in field_names}
+                if tag_on_failure:
+                    cols["tags"] = [None] * len(rows)
+                yield pd.DataFrame(cols)
 
     from .binfile import binary_content
 

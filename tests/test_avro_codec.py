@@ -267,3 +267,30 @@ def test_schema_evolution_missing_field_null(spark, tmp_path):
         {"path": str(d), "codec": "avro", "avro_schema": new})
     rows = {r["message"]: r["status"] for r in df.collect()}
     assert rows == {"m1": None, "m2": 500}
+
+
+def test_tag_on_failure_corrupt_file(spark, tmp_path):
+    """avro.rb `tag_on_failure`: default (false) raises on a corrupt
+    payload; true yields ONE all-null `_avroparsefailure`-tagged row
+    per corrupt file instead of aborting the task."""
+    schema = json.dumps({"type": "record", "name": "logev", "fields": [
+        {"name": "message", "type": "string"}]})
+    d = tmp_path / "corrupt"
+    d.mkdir()
+    _jvm_write_avro(spark, str(d / "good.avro"), schema,
+                    [dict(message="ok1"), dict(message="ok2")])
+    good = (d / "good.avro").read_bytes()
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF  # corrupt the trailing sync marker
+    (d / "bad.avro").write_bytes(bytes(bad))
+
+    args = {"path": str(d), "codec": "avro", "avro_schema": schema}
+    with pytest.raises(Exception):
+        resolve_input(spark, "file", dict(args)).collect()
+
+    df = resolve_input(spark, "file", dict(args, tag_on_failure=True))
+    assert "tags" in df.columns
+    rows = df.collect()
+    got = {(r["message"], tuple(r["tags"] or ())) for r in rows}
+    assert got == {
+        (None, ("_avroparsefailure",)), ("ok1", ()), ("ok2", ())}
