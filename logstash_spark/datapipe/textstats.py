@@ -221,6 +221,140 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --------------------------------------- Gopher-style repetition signals
+def _words_nonempty(col: Column) -> Column:
+    return F.filter(words(col), lambda w: F.length(w) > 0)
+
+
+def word_2grams(col: Column) -> Column:
+    """Adjacent word 2-grams joined with a single space; empty array for
+    texts with fewer than two words (the ``n >= 2`` guard matters:
+    ``sequence(1, 0)`` would count DOWN, not produce an empty range)."""
+    ws = _words_nonempty(col)
+    n = F.size(ws)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_run_stats(arr: Column) -> Column:
+    """struct(best, dup, tot) over an array of grams in ONE pass:
+
+    * ``best`` — max over distinct values of count * length (character
+      coverage of the single most repetitive gram),
+    * ``dup``  — total characters across ALL occurrences of values that
+      occur more than once,
+    * ``tot``  — total characters across all occurrences.
+
+    Instead of the O(G^2) count-inside-filter formulation, the array is
+    sorted so equal values are adjacent and a run-length scan does the
+    counting — O(G log G) per row, still fully row-local (no shuffle,
+    which is the whole point at 10^12 documents: repetition scoring is
+    embarrassingly parallel)."""
+    sorted_arr = F.array_sort(arr)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("tot"),
+    )
+
+    def step(acc, g):
+        is_same = g == acc["prev"]
+        new_run = F.when(is_same, acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        # a run ends when the value changes; flush its duplicate chars
+        flushed = F.when(is_same | (acc["run"] <= 1), acc["dup"]).otherwise(
+            acc["dup"] + acc["run"] * F.length(acc["prev"]).cast("long")
+        )
+        return F.struct(
+            g.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run * F.length(g).cast("long")).alias(
+                "best"
+            ),
+            flushed.alias("dup"),
+            (acc["tot"] + F.length(g).cast("long")).alias("tot"),
+        )
+
+    def finish(acc):
+        dup = F.when(
+            acc["run"] > 1,
+            acc["dup"] + acc["run"] * F.length(acc["prev"]).cast("long"),
+        ).otherwise(acc["dup"])
+        return F.struct(
+            acc["best"].alias("best"), dup.alias("dup"), acc["tot"].alias("tot")
+        )
+
+    return F.aggregate(sorted_arr, zero, step, finish)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", spread: bool = True
+) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, §A1.1) repetition filters at word
+    grain — the training-data curation signals that catch boilerplate
+    and degenerate pages:
+
+    * ``dup_word_frac``       — 1 - distinct words / total words,
+    * ``top_2gram_char_frac`` — characters covered by the most frequent
+      word 2-gram / total 2-gram characters,
+    * ``dup_2gram_char_frac`` — characters in 2-grams occurring more
+      than once / total 2-gram characters.
+
+    (Gopher's line-grain variants are meaningless on a single-line
+    corpus; the word/2-gram grain is the same signal.) All native
+    expressions, all row-local: a 10^12-doc scoring pass is a pure map
+    with zero shuffle. Fractions are single long/long divisions rounded
+    to 6, so the DuckDB oracle (which counts via unnest + GROUP BY
+    instead of the sorted-run scan) lands on bit-identical doubles."""
+    from .dedup import _spread
+
+    c = F.col(text_col)
+    ws = _words_nonempty(c)
+    # spread=False when the caller already ran _spread (e.g. chained
+    # after text_quality_stats) — a second round-robin repartition of
+    # the same rows would be a pure-waste shuffle
+    df = _spread(df) if spread else df
+    df = df.withColumn(
+        "__rep", F.explode(F.array(_gram_run_stats(word_2grams(c))))
+    )
+    v = F.col("__rep")
+    tot = v["tot"]
+    return df.withColumns(
+        {
+            "dup_word_frac": F.round(
+                F.when(
+                    F.size(ws) > 0,
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(ws)).cast("double") / F.size(ws),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+            "top_2gram_char_frac": F.round(
+                F.when(tot > 0, v["best"].cast("double") / tot).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ),
+            "dup_2gram_char_frac": F.round(
+                F.when(tot > 0, v["dup"].cast("double") / tot).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ),
+        }
+    ).drop("__rep")
+
+
 # ------------------------------------------ unigram LM quality scoring
 def unigram_vocab(
     df: DataFrame, text_col: str = "text", min_count: int = 1

@@ -1062,10 +1062,28 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 _TEXTSTATS_ORACLE = f"""
     WITH base AS (
       SELECT doc_id, text,
-             regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> length(x) > 0) AS wsf
       FROM documents
+    ), gram_tbl AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(wsf) >= 2 THEN
+               list_transform(generate_series(1, len(wsf) - 1),
+                              i -> wsf[i] || ' ' || wsf[i + 1])
+             ELSE [] END) AS g
+      FROM base
+    ), gram_stats AS (
+      SELECT doc_id,
+             max(cnt * length(g)) AS best,
+             sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dup,
+             sum(cnt * length(g)) AS tot
+      FROM (SELECT doc_id, g, count(*) AS cnt FROM gram_tbl GROUP BY doc_id, g)
+      GROUP BY doc_id
     ), hits AS (
       SELECT doc_id, text, ws,
+             CASE WHEN len(wsf) > 0 THEN
+               1.0 - len(list_distinct(wsf)) / len(wsf) ELSE 0.0 END AS dwf,
              {_sql_marker_count('en')} AS c_en,
              {_sql_marker_count('de')} AS c_de,
              {_sql_marker_count('fr')} AS c_fr,
@@ -1103,8 +1121,15 @@ _TEXTSTATS_ORACLE = f"""
                        WHEN n_tokens > 0 THEN 0.1 ELSE 0.0 END)
                  + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.3 ELSE 0.0 END)
                  + (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END)
-                 + (CASE WHEN sr > 0.0 THEN 0.1 ELSE 0.0 END), 2) AS DOUBLE) AS quality
-    FROM hits
+                 + (CASE WHEN sr > 0.0 THEN 0.1 ELSE 0.0 END), 2) AS DOUBLE) AS quality,
+           CAST(round(dwf, 6) AS DOUBLE) AS dup_word_frac,
+           CAST(round(CASE WHEN coalesce(gs.tot, 0) > 0
+                      THEN gs.best / gs.tot ELSE 0.0 END, 6) AS DOUBLE)
+             AS top_2gram_char_frac,
+           CAST(round(CASE WHEN coalesce(gs.tot, 0) > 0
+                      THEN gs.dup / gs.tot ELSE 0.0 END, 6) AS DOUBLE)
+             AS dup_2gram_char_frac
+    FROM hits LEFT JOIN gram_stats gs USING (doc_id)
 """
 
 
@@ -1118,13 +1143,19 @@ def textstats_quality(spark, sf_dir):
     engines compute the identical 32-bit token hash and the same
     mod-2^31 left fold (consolidated from the former separate
     textstats_fingerprint row — same table, same grain — to free a
-    driver slot for cef_dns_jdbc_battery)."""
-    from .datapipe.textstats import text_stats
+    driver slot for cef_dns_jdbc_battery). Round 5 folds in the
+    Gopher-style repetition signals at the same grain (dup-word
+    fraction, top/duplicate 2-gram character fractions) — engine side
+    is a row-local sorted-run scan, oracle side counts via
+    unnest + GROUP BY; single long/long divisions rounded to 6 land on
+    bit-identical doubles."""
+    from .datapipe.textstats import repetition_stats, text_stats
 
     docs = _t(spark, sf_dir, "documents")
-    return text_stats(docs).select(
+    return repetition_stats(text_stats(docs), spread=False).select(
         "doc_id", "n_tokens", "n_bpe_tokens", "fingerprint_rolling",
-        "lang_detected", "quality"
+        "lang_detected", "quality", "dup_word_frac",
+        "top_2gram_char_frac", "dup_2gram_char_frac"
     )
 
 

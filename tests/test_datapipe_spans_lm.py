@@ -188,3 +188,54 @@ def test_unigram_logprob_heldout_vocab_and_pruning(spark):
     tv = vocab.agg(F.sum("cnt"), F.count(F.lit(1))).collect()[0]
     denom = float(tv[0]) + 1.0 * (tv[1] + 1)
     assert got[2][1] == pytest.approx(math.log(1.0 / denom), rel=1e-9)
+
+
+# ------------------------------------- Gopher-style repetition signals
+def _ref_repetition(rows):
+    out = {}
+    for did, text in rows:
+        ws = [w for w in re.split(r"\s+", text.strip().lower()) if w] if text else []
+        dwf = 1.0 - len(set(ws)) / len(ws) if ws else 0.0
+        grams = [f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)]
+        cnt = Counter(grams)
+        tot = sum(c * len(g) for g, c in cnt.items())
+        best = max((c * len(g) for g, c in cnt.items()), default=0)
+        dup = sum(c * len(g) for g, c in cnt.items() if c > 1)
+        out[did] = (
+            round(dwf, 6),
+            round(best / tot, 6) if tot else 0.0,
+            round(dup / tot, 6) if tot else 0.0,
+        )
+    return out
+
+
+REP_ROWS = [
+    (0, "a b a b a"),          # grams a-b x2, b-a x2: all duplicated
+    (1, ""),                   # empty text
+    (2, "solo"),               # one word: no grams
+    (3, "x y z"),              # unique grams
+    (4, "aa aa aa"),           # single repeated gram
+    (5, "the cat sat on the mat the cat sat again"),
+    (6, "  padded   whitespace \t tokens  "),
+]
+
+
+def test_repetition_stats_matches_reference(spark):
+    df = spark.createDataFrame(REP_ROWS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dup_word_frac, r.top_2gram_char_frac, r.dup_2gram_char_frac)
+        for r in textstats.repetition_stats(df).collect()
+    }
+    assert got == _ref_repetition(REP_ROWS)
+
+
+def test_repetition_stats_documents_table(spark, sf_dir="/root/testdata/sf0.001"):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    got = {
+        r.doc_id: (r.dup_word_frac, r.top_2gram_char_frac, r.dup_2gram_char_frac)
+        for r in textstats.repetition_stats(docs).collect()
+    }
+    assert got == _ref_repetition(rows)
+    # word-soup corpus: repetition must actually vary, not be degenerate
+    assert len({v[1] for v in got.values()}) > 10
