@@ -133,6 +133,27 @@ def bench_span_stats(spark):
     return dict(row.asDict())
 
 
+def bench_decontaminate(spark):
+    """13-gram benchmark decontamination over the sf documents table
+    (benchmark = a 1-in-97 slice of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.datapipe import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    row = (
+        dedup.decontaminate(docs, bench)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_contaminated").alias("hits"),
+            F.sum(F.col("contaminated").cast("long")).alias("docs_hit"),
+        )
+        .collect()[0]
+    )
+    return dict(row.asDict())
+
+
 def bench_unigram_logprob(spark):
     """Self-trained unigram-LM scoring over the sf documents table."""
     from pyspark.sql import functions as F
@@ -197,6 +218,7 @@ def main():
         ("apache_grok_complex", lambda: bench_apache(spark, logs_path)),
         ("dedup_span_stats", lambda: bench_span_stats(spark)),
         ("unigram_logprob", lambda: bench_unigram_logprob(spark)),
+        ("decontaminate", lambda: bench_decontaminate(spark)),
     ] + [
         (name, lambda f=suite.QUERIES[name]: f(spark, SF_DIR).collect())
         for name in suite_queries

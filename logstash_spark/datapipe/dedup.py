@@ -654,6 +654,74 @@ def top_duplicated_spans(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    span_k: int = 13,
+    drop: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination — the GPT-3/PaLM-style rule: a training
+    document is contaminated when it shares ANY ``span_k``-word window
+    (13 by convention) with the benchmark/eval set.
+
+    Returns per-doc ``(id_col, n_windows, n_contaminated, contaminated)``,
+    or with ``drop=True`` the clean subset of ``df`` itself (original
+    schema). Docs shorter than span_k words have no window and are never
+    contaminated.
+
+    Plan: window-hash BOTH sides with the same native ``span_windows``
+    expression (linear in tokens, row-local), distinct the benchmark's
+    hash set, then a broadcast LEFT SEMI-shaped join back. An eval suite
+    is a few thousand documents — its distinct 13-gram set is megabytes,
+    so it broadcasts explicitly and the 10^12-doc side never shuffles:
+    the whole decontamination pass is a map over the training corpus.
+    (If a giant benchmark ever exceeds broadcast limits, drop the
+    ``F.broadcast`` hint and Spark falls back to a shuffle join — the
+    plan stays linear either way; there is no pair join.)"""
+    btc = bench_text_col or text_col
+    bench_hashes = F.broadcast(
+        benchmark.select(
+            F.explode(span_windows(F.col(btc), span_k)).alias("w")
+        )
+        .select(F.col("w.h").alias("h"))
+        .distinct()
+    )
+    win = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(span_windows(F.col(text_col), span_k)).alias("w"),
+    ).select("id", F.col("w.h").alias("h"))
+    per_doc = (
+        win.join(bench_hashes.withColumn("__hit", F.lit(1)), "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce("__hit", F.lit(0)).cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+    )
+    stats = (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+    if not drop:
+        return stats
+    return df.join(
+        stats.filter(F.col("contaminated")).select(F.col(id_col)),
+        id_col,
+        "left_anti",
+    )
+
+
 # ------------------------------------------- connected-component groups
 def connected_components(
     pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 50

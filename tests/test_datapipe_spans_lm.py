@@ -239,3 +239,62 @@ def test_repetition_stats_documents_table(spark, sf_dir="/root/testdata/sf0.001"
     assert got == _ref_repetition(rows)
     # word-soup corpus: repetition must actually vary, not be degenerate
     assert len({v[1] for v in got.values()}) > 10
+
+
+# ---------------------------------------------- benchmark decontamination
+def _ref_decontaminate(rows, bench_texts, k):
+    def wins(text):
+        ws = re.split(r"\s+", text.strip()) if text and text.strip() else []
+        return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+
+    bench = {w for t in bench_texts for w in wins(t)}
+    out = {}
+    for did, text in rows:
+        w = wins(text)
+        hits = sum(1 for x in w if x in bench)
+        out[did] = (len(w), hits, hits > 0)
+    return out
+
+
+def test_decontaminate_matches_reference(spark):
+    k = 5
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta"),   # contains bench span
+        (1, "one two three four five six"),               # clean
+        (2, "alpha beta gamma delta"),                    # < k words: no window
+        (3, "x alpha beta gamma delta epsilon y"),        # bench span embedded
+        (4, ""),                                          # empty
+    ]
+    bench_texts = ["alpha beta gamma delta epsilon", "unused bench words here now"]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(t,) for t in bench_texts], "text string")
+
+    got = {
+        r.doc_id: (r.n_windows, r.n_contaminated, r.contaminated)
+        for r in dedup.decontaminate(df, bench, span_k=k).collect()
+    }
+    assert got == _ref_decontaminate(rows, bench_texts, k)
+
+    clean = dedup.decontaminate(df, bench, span_k=k, drop=True)
+    assert set(clean.columns) == {"doc_id", "text"}
+    assert {r.doc_id for r in clean.collect()} == {1, 2, 4}
+
+
+def test_decontaminate_documents_table(spark):
+    """Planted-duplicate groups in the synthetic table: using a slice of
+    the corpus as the 'benchmark' must flag exactly the docs sharing a
+    13-gram with it (their duplicates), per the pure-Python reference."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    bench_texts = [r.text for r in docs.filter(F.col("doc_id") % 17 == 0).collect()]
+    got = {
+        r.doc_id: (r.n_windows, r.n_contaminated, r.contaminated)
+        for r in dedup.decontaminate(docs, bench).collect()
+    }
+    want = _ref_decontaminate(rows, bench_texts, 13)
+    assert got == want
+    # the benchmark slice itself is trivially contaminated; at least one
+    # NON-member (a planted duplicate) must be flagged too
+    flagged = {d for d, (_, _, c) in got.items() if c}
+    assert any(d % 17 != 0 for d in flagged)
