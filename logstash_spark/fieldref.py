@@ -85,10 +85,22 @@ def _joda_to_java(fmt: str) -> str:
       pattern), java.time ``Y`` = WEEK-BASED year → wrong year for a
       few days around every new year. Translate Y-runs → ``y``.
     * Joda ``x`` = weekyear → java.time ``Y``.
-    * Joda ``ZZ`` (``+HH:mm``) → java.time ``XXX``.
+    * Joda zone tokens are LENGTH-MATCHED, not substring-replaced (a
+      blind ``.replace('ZZ', 'XXX')`` mangles ``ZZZ`` into ``XXXZ``):
+      ``Z`` (+0100) → ``Z`` (same in java.time), ``ZZ`` (+01:00) →
+      ``xxx`` (never the bare 'Z' that java ``XXX`` emits at UTC —
+      Joda ZZ prints +00:00), ``ZZZ``+ (zone id) → ``VV``.
 
     Quoted literals (``'T'``) pass through verbatim."""
     import re as _re
+
+    def _z(m: "_re.Match") -> str:
+        n = len(m.group())
+        if n == 1:
+            return "Z"
+        if n == 2:
+            return "xxx"
+        return "VV"
 
     out = []
     for i, seg in enumerate(_re.split(r"('(?:[^']|'')*')", fmt)):
@@ -97,7 +109,7 @@ def _joda_to_java(fmt: str) -> str:
             continue
         seg = _re.sub(r"Y+", lambda m: "y" * len(m.group()), seg)
         seg = _re.sub(r"x+", lambda m: "Y" * len(m.group()), seg)
-        out.append(seg.replace("ZZ", "XXX"))
+        out.append(_re.sub(r"Z+", _z, seg))
     return "".join(out)
 
 

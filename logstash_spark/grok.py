@@ -993,10 +993,24 @@ def grok_extract_batch(
             if pd.api.types.is_integer_dtype(num):
                 out[fname] = num.astype("Int64")  # exact, no float hop
             else:
-                num = num.replace([np.inf, -np.inf], np.nan)
+                # mixed/float captures: Ruby to_i is the integer PREFIX
+                # of the decimal string, parsed exactly — no float hop
+                # (a float trunc loses precision past 2**53 and, for
+                # out-of-int64-range values, pd.array's safe-cast raises
+                # and aborts the whole Arrow batch). Out-of-int64-range
+                # → null (try_ discipline; Ruby's bignum cannot live in
+                # a long column).
+                prefix = out[fname].astype("string").str.extract(
+                    r"^\s*([+-]?\d+)", expand=False)
+
+                def _to_i64(v):
+                    if v is None or v is pd.NA:
+                        return None
+                    iv = int(v)
+                    return iv if -(2 ** 63) <= iv < 2 ** 63 else None
+
                 out[fname] = pd.array(
-                    np.trunc(num.to_numpy(dtype="float64")), dtype="Int64"
-                ) if len(num) else pd.array([], dtype="Int64")
+                    [_to_i64(v) for v in prefix], dtype="Int64")
         elif typ == "float":
             out[fname] = pd.to_numeric(out[fname], errors="coerce").astype("Float64")
     out["_matched"] = matched

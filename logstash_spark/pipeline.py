@@ -35,6 +35,7 @@ import time
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 from pyspark.storagelevel import StorageLevel
 
 from .checkpoint import CheckpointManifest
@@ -267,6 +268,29 @@ class Pipeline:
 _COND = "__when_cond"
 
 
+def _align_to(col, old_t, new_t):
+    """Project a column of schema ``old_t`` into schema ``new_t``:
+    struct-vs-struct recurses field-by-field (fields absent from the
+    old shape → typed null; shared fields keep their values, aligned
+    recursively); non-struct mismatches try_cast (the convert-op
+    discipline: dirty → null, flow on). A null old struct stays a null
+    new struct."""
+    if old_t == new_t:
+        return col
+    if isinstance(old_t, StructType) and isinstance(new_t, StructType):
+        parts = []
+        for f in new_t.fields:
+            if f.name in old_t.fieldNames():
+                parts.append(_align_to(
+                    col.getField(f.name), old_t[f.name].dataType, f.dataType
+                ).alias(f.name))
+            else:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return F.when(col.isNull(), F.lit(None).cast(new_t)).otherwise(
+            F.struct(*parts))
+    return col.try_cast(new_t)
+
+
 def _conditional_merge(df: DataFrame, stage, cond, targets: list[str]) -> DataFrame:
     """Lower ``if cond { stage }`` into column merges on one DataFrame.
 
@@ -300,8 +324,24 @@ def _conditional_merge(df: DataFrame, stage, cond, targets: list[str]) -> DataFr
     for c in targets:
         if c in backups:
             if c in out.columns:
+                # a stage that RETYPED the column (nested add_field /
+                # set_field adding a struct key) would make the CASE
+                # branches two different struct types → analysis error;
+                # align the backup into the new shape (missing keys →
+                # null, shared keys keep their original values)
+                new_t = out.schema[c].dataType
+                old_t = pre.schema[backups[c]].dataType
+                ob = F.col(backups[c])
+                if old_t != new_t and (
+                    isinstance(old_t, StructType)
+                    or isinstance(new_t, StructType)
+                ):
+                    # scalar mismatches (convert double→long) are left
+                    # to Spark's own CASE coercion — same as a branch
+                    # lowering's unionByName would produce
+                    ob = _align_to(ob, old_t, new_t)
                 out = out.withColumn(
-                    c, F.when(F.col(_COND), F.col(c)).otherwise(F.col(backups[c]))
+                    c, F.when(F.col(_COND), F.col(c)).otherwise(ob)
                 )
             else:
                 # stage dropped the column (e.g. `if [x] { mutate {

@@ -323,8 +323,23 @@ def _read_avro(
     # instead of aborting the task — the operational knob for a
     # many-rolled-files corpus where one bad file must not kill a run.
     tag_on_failure = bool(args.get("tag_on_failure", False))
-    if tag_on_failure:
+    # the avro record may ITSELF have a `tags` field — appending a
+    # second tags column would be a duplicate-column schema, and
+    # nulling it would clobber real decoded values (review finding).
+    # When the record's own tags is array<string> we merge (the
+    # reference appends `_avroparsefailure` to the event's tags);
+    # any other type cannot carry the failure tag → loud error.
+    record_has_tags = "tags" in field_names
+    if tag_on_failure and not record_has_tags:
         ddl += ", tags array<string>"
+    if tag_on_failure and record_has_tags:
+        tags_t = next(avro_codec._spark_type(f["schema"])
+                      for f in schema["fields"] if f["name"] == "tags")
+        if tags_t != "array<string>":
+            raise ValueError(
+                "avro tag_on_failure: record field `tags` has type "
+                f"{tags_t}, cannot carry the _avroparsefailure tag — "
+                "rename the field or disable tag_on_failure")
 
     def decode_files(batches):
         import pandas as pd
@@ -344,7 +359,7 @@ def _read_avro(
                     )
                     continue
                 cols = {n: [r.get(n) for r in rows] for n in field_names}
-                if tag_on_failure:
+                if tag_on_failure and not record_has_tags:
                     cols["tags"] = [None] * len(rows)
                 yield pd.DataFrame(cols)
 

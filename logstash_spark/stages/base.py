@@ -35,6 +35,140 @@ def register(name: str):
     return deco
 
 
+def _qseg(seg: str) -> str:
+    """Quote one struct-path segment for withField/dropFields, which
+    PARSE dotted strings as nested paths — a field literally named
+    ``b.c`` (de_dot exists because these occur in the wild) must be
+    backtick-escaped or it silently addresses the wrong slot."""
+    if "." in seg or "`" in seg:
+        return "`" + seg.replace("`", "``") + "`"
+    return seg
+
+
+def _set_struct_path(col: Column, dtype, path: list[str], val: Column) -> Column:
+    """Set ``path`` inside struct column ``col`` (whose schema is
+    ``dtype``) to ``val``, creating missing intermediate structs the way
+    the reference's ``Event#setField`` creates intermediate hashes
+    (logstash-core: ConvertedMap auto-vivification), and — like Ruby —
+    overwriting a non-hash intermediate with a hash."""
+    from pyspark.sql.types import StructType
+
+    prefix: list[str] = []
+    cur = dtype
+    for p in path[:-1]:
+        if isinstance(cur, StructType) and p in cur.fieldNames():
+            inner_t = cur[p].dataType
+            if isinstance(inner_t, StructType):
+                prefix.append(p)
+                cur = inner_t
+                continue
+        break
+    remainder = path[len(prefix):]
+    inner = val
+    for p in reversed(remainder[1:]):
+        inner = F.struct(inner.alias(p))
+    return col.withField(
+        ".".join(_qseg(p) for p in prefix + [remainder[0]]), inner)
+
+
+def _struct_path_value(dtype, name: str, path: list[str]) -> Column:
+    """The current value at ``path`` inside struct column ``name`` cast
+    to string (sprintf leaf type), or a null string when the path does
+    not fully exist in the schema — used as the type-matched otherwise
+    branch of a conditional nested add_field."""
+    from pyspark.sql.types import StructType
+
+    cur = dtype
+    for p in path:
+        if not (isinstance(cur, StructType) and p in cur.fieldNames()):
+            return F.lit(None).cast("string")
+        cur = cur[p].dataType
+    expr = F.col(name)
+    for p in path:
+        expr = expr.getField(p)
+    return expr.cast("string")
+
+
+def _struct_leaf_type(dtype, path: list[str]):
+    """The DataType at ``path`` inside struct schema ``dtype``, or None
+    when the path does not fully exist."""
+    from pyspark.sql.types import StructType
+
+    cur = dtype
+    for p in path:
+        if not (isinstance(cur, StructType) and p in cur.fieldNames()):
+            return None
+        cur = cur[p].dataType
+    return cur
+
+
+def _drop_field_path(df: DataFrame, parts: list[str]) -> DataFrame:
+    """Drop the leaf at ``parts`` and collapse any ancestor struct the
+    removal would leave EMPTY. Documented deviation: Ruby's Hash#delete
+    leaves an empty ``{}`` behind, but Spark cannot represent an empty
+    struct (dropFields errors on dropping the last field), so the
+    emptied ancestor chain collapses instead."""
+    sizes = []
+    cur = df.schema[parts[0]].dataType
+    for p in parts[1:]:
+        sizes.append(len(cur.fields))
+        cur = cur[p].dataType
+    k = None
+    for i in range(len(sizes) - 1, -1, -1):
+        if sizes[i] > 1:
+            k = i
+            break
+    if k is None:
+        return df.drop(parts[0])
+    dotted = ".".join(_qseg(p) for p in parts[1: k + 2])
+    return df.withColumn(parts[0], F.col(parts[0]).dropFields(dotted))
+
+
+def set_field(df: DataFrame, ref: str, val: Column) -> DataFrame:
+    """Write ``val`` at field reference ``ref`` — the plan-time
+    equivalent of the reference's ``Event#setField``. Top-level ref →
+    ``withColumn``; nested ref → set ONE key inside the struct
+    (siblings survive), auto-vivifying missing intermediate structs
+    and — like Ruby — overwriting a non-hash top/intermediate with a
+    hash. List-index writes (digit path segments) are rejected loudly:
+    a typed column cannot grow a per-row list slot."""
+    from ..fieldref import _canonical, parse_ref
+
+    parts = _canonical(parse_ref(ref))
+    name = parts[0]
+    if len(parts) == 1:
+        return df.withColumn(name, val)
+    if any(p.isdigit() for p in parts[1:]):
+        raise ValueError(
+            f"set into a list index is not supported: {ref!r}")
+    if name in df.columns and dict(df.dtypes)[name].startswith("struct"):
+        return df.withColumn(name, _set_struct_path(
+            F.col(name), df.schema[name].dataType, parts[1:], val))
+    inner = val
+    for p in reversed(parts[1:]):
+        inner = F.struct(inner.alias(p))
+    return df.withColumn(name, inner)
+
+
+def field_exists(df: DataFrame, ref: str) -> bool:
+    """Does ``ref`` resolve to an existing column / struct leaf in the
+    schema? (reference ``Event#include?`` at plan time — used for the
+    'skip when field missing' discipline of update/convert/coerce)."""
+    from ..fieldref import _canonical, parse_ref
+
+    parts = _canonical(parse_ref(ref))
+    if parts[0] not in df.columns:
+        return False
+    if len(parts) == 1:
+        return True
+    if any(p.isdigit() for p in parts[1:]):
+        # list index: existence is per-row, not schema-static — treat
+        # the path as present iff the array column resolves
+        return True
+    return _struct_leaf_type(
+        df.schema[parts[0]].dataType, parts[1:]) is not None
+
+
 def ensure_tags(df: DataFrame) -> DataFrame:
     """Guarantee the tags array<string> column exists (reference events
     get ``tags`` lazily on first ``Event#tag``)."""
@@ -125,15 +259,30 @@ class Stage:
                 # nested target: set ONE key inside the struct — a
                 # whole-column write would clobber the siblings and
                 # retype the column (the reference sets only [a][b])
-                dotted = ".".join(parts[1:])
                 if name in out.columns:
                     if not dict(out.dtypes)[name].startswith("struct"):
                         raise ValueError(
                             f"add_field: {ref!r} targets a nested key "
                             f"but column {name!r} is not a struct")
-                    new = F.col(name).withField(dotted, val)
-                    out = out.withColumn(
-                        name, F.when(cond, new).otherwise(F.col(name)))
+                    dtype = out.schema[name].dataType
+                    new = _set_struct_path(F.col(name), dtype, parts[1:], val)
+                    if matched is None:
+                        # unconditional: assign directly — a
+                        # when/otherwise over the original column is a
+                        # CASE WHEN with mismatched struct types the
+                        # moment the path adds a NEW key
+                        out = out.withColumn(name, new)
+                    else:
+                        # conditional: the otherwise branch must carry
+                        # the SAME struct type, so it sets the same
+                        # path — to the pre-existing value (rendered as
+                        # string, matching the sprintf leaf type) when
+                        # the full path already exists, else to null
+                        keep = _struct_path_value(dtype, name, parts[1:])
+                        unset = _set_struct_path(
+                            F.col(name), dtype, parts[1:], keep)
+                        out = out.withColumn(
+                            name, F.when(cond, new).otherwise(unset))
                 else:
                     inner = val
                     for p in reversed(parts[1:]):
@@ -154,11 +303,28 @@ class Stage:
                 # nested removal: drop ONE key, keep the siblings
                 if not dict(out.dtypes)[name].startswith("struct"):
                     continue  # non-struct top → nested key cannot exist
-                dropped = F.col(name).dropFields(".".join(parts[1:]))
-                out = out.withColumn(
-                    name,
-                    dropped if matched is None
-                    else F.when(cond, dropped).otherwise(F.col(name)))
+                leaf_t = _struct_leaf_type(out.schema[name].dataType, parts[1:])
+                if leaf_t is None:
+                    continue  # path absent → reference no-op (dropFields
+                    # on a missing field would fail analysis)
+                dotted = ".".join(_qseg(p) for p in parts[1:])
+                if matched is None:
+                    # _drop_field_path collapses ancestors the removal
+                    # would leave empty (dropFields errors on emptying
+                    # a struct)
+                    out = _drop_field_path(out, parts)
+                else:
+                    # conditional: a CASE over dropped-vs-original is two
+                    # DIFFERENT struct types → analysis error. Null the
+                    # leaf in place instead (typed schemas can't express
+                    # per-row key absence; null is Spark's absent)
+                    leaf = F.col(name)
+                    for p in parts[1:]:
+                        leaf = leaf.getField(p)
+                    nulled = F.col(name).withField(
+                        dotted,
+                        F.when(cond, F.lit(None).cast(leaf_t)).otherwise(leaf))
+                    out = out.withColumn(name, nulled)
             elif matched is None:
                 out = out.drop(name)
             else:

@@ -11,8 +11,25 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..fieldref import field_col, field_name, sprintf_col
-from .base import Stage, register
+from ..fieldref import _canonical, field_col, field_name, parse_ref, sprintf_col
+from .base import (
+    Stage, _drop_field_path, _struct_leaf_type, field_exists, register,
+    set_field,
+)
+
+
+def _leaf_dtype(df: DataFrame, ref: str):
+    """Schema DataType at ``ref`` (top-level column or struct leaf);
+    None when the path has list-index segments (type is per-element)."""
+    parts = _canonical(parse_ref(ref))
+    t = df.schema[parts[0]].dataType
+    if len(parts) == 1:
+        return t
+    if any(p.isdigit() for p in parts[1:]):
+        return None
+    return _struct_leaf_type(t, parts[1:])
+
+
 
 # logstash-filter-mutate documents a FIXED execution order for its ops
 # (mutate.rb README "Mutate gsub ... are applied in this order"); the
@@ -70,38 +87,51 @@ class MutateStage(Stage):
     def _op_coerce(self, df, arg: dict):
         # set a default for fields that exist with null value
         for ref, default in arg.items():
-            name = field_name(ref)
-            if name in df.columns:
-                dt = dict(df.dtypes)[name]
-                df = df.withColumn(name, F.coalesce(F.col(name), F.lit(default).cast(dt)))
+            if not field_exists(df, ref):
+                continue
+            dt = _leaf_dtype(df, ref)
+            if dt is None:  # list-index path: per-row slot, not settable
+                continue
+            df = set_field(df, ref, F.coalesce(
+                field_col(ref), F.lit(default).cast(dt)))
         return df
 
     def _op_rename(self, df, arg: dict):
         for old, new in arg.items():
-            df = df.withColumnRenamed(field_name(old), field_name(new))
+            po = _canonical(parse_ref(old))
+            pn = _canonical(parse_ref(new))
+            if len(po) == 1 and len(pn) == 1:
+                # withColumnRenamed on a missing column is a no-op,
+                # matching mutate.rb's skip-if-absent
+                df = df.withColumnRenamed(po[0], pn[0])
+                continue
+            if not field_exists(df, old):
+                continue
+            df = set_field(df, new, field_col(old))
+            df = df.drop(po[0]) if len(po) == 1 else _drop_field_path(df, po)
         return df
 
     def _op_update(self, df, arg: dict):
         # update only if field exists (reference: skip otherwise)
         for ref, template in arg.items():
-            name = field_name(ref)
-            if name in df.columns:
-                df = df.withColumn(
-                    name,
-                    F.when(F.col(name).isNotNull(), sprintf_col(template)).otherwise(F.col(name)),
-                )
+            if not field_exists(df, ref):
+                continue
+            cur = field_col(ref)
+            df = set_field(df, ref, F.when(
+                cur.isNotNull(), sprintf_col(template)).otherwise(cur))
         return df
 
     def _op_replace(self, df, arg: dict):
         for ref, template in arg.items():
-            df = df.withColumn(field_name(ref), sprintf_col(template))
+            df = set_field(df, ref, sprintf_col(template))
         return df
 
     def _op_convert(self, df, arg: dict):
         for ref, typ in arg.items():
-            name = field_name(ref)
+            if not field_exists(df, ref):
+                continue  # mutate.rb: convert on a missing field is a no-op
             spark_t = _CONVERT_TYPES.get(typ, typ)
-            col = F.col(name)
+            col = field_col(ref)
             if typ == "boolean":
                 # mutate.rb convert: "true"/"t"/"yes"/"y"/"1" → true, etc.
                 # Unconvertible → null: mutate.rb keeps the ORIGINAL
@@ -114,7 +144,7 @@ class MutateStage(Stage):
                 # try_cast: a dirty value yields null (mutate.rb logs and
                 # keeps flowing) instead of throwing under ANSI sessions
                 col = col.try_cast(spark_t)
-            df = df.withColumn(name, col)
+            df = set_field(df, ref, col)
         return df
 
     @staticmethod
@@ -140,6 +170,17 @@ class MutateStage(Stage):
                     out.append("${" + repl[i + 3: j] + "}")
                     i = j + 1
                     continue
+                if nxt == "&":  # Ruby whole-match backref → Java $0
+                    out.append("$0")
+                    i += 2
+                    continue
+                if nxt in "`'+":
+                    # Ruby pre-match/post-match/last-group refs have no
+                    # Java replaceAll spelling — reject loudly rather
+                    # than silently emitting a corrupted literal
+                    raise ValueError(
+                        f"gsub replacement uses Ruby \\{nxt} which has no "
+                        f"Java regexp_replace equivalent: {repl!r}")
                 out.append("\\" + nxt)  # \\ and other escapes: same in Java
                 i += 2
                 continue
@@ -155,62 +196,71 @@ class MutateStage(Stage):
         # flat triples [field, pattern, replacement, ...]
         for i in range(0, len(arg), 3):
             ref, pat, repl = arg[i : i + 3]
-            name = field_name(ref)
-            df = df.withColumn(
-                name,
-                F.regexp_replace(F.col(name), pat, self._ruby_repl_to_java(repl)),
-            )
+            if not field_exists(df, ref):
+                continue  # mutate.rb: nil field → skip
+            df = set_field(df, ref, F.regexp_replace(
+                field_col(ref), pat, self._ruby_repl_to_java(repl)))
         return df
 
     def _op_uppercase(self, df, refs: list):
         for ref in refs:
-            df = df.withColumn(field_name(ref), F.upper(field_col(ref)))
+            if field_exists(df, ref):
+                df = set_field(df, ref, F.upper(field_col(ref)))
         return df
 
     def _op_capitalize(self, df, refs: list):
         for ref in refs:
-            n = field_name(ref)
-            df = df.withColumn(
-                n, F.concat(F.upper(F.substring(F.col(n), 1, 1)), F.lower(F.expr(f"substring(`{n}`, 2)")))
-            )
+            if not field_exists(df, ref):
+                continue
+            cur = field_col(ref)
+            df = set_field(df, ref, F.concat(
+                F.upper(cur.substr(1, 1)),
+                F.lower(cur.substr(F.lit(2), F.length(cur)))))
         return df
 
     def _op_lowercase(self, df, refs: list):
         for ref in refs:
-            df = df.withColumn(field_name(ref), F.lower(field_col(ref)))
+            if field_exists(df, ref):
+                df = set_field(df, ref, F.lower(field_col(ref)))
         return df
 
     def _op_strip(self, df, refs: list):
         for ref in refs:
-            df = df.withColumn(field_name(ref), F.trim(field_col(ref)))
+            if field_exists(df, ref):
+                df = set_field(df, ref, F.trim(field_col(ref)))
         return df
 
     def _op_split(self, df, arg: dict):
         for ref, sep in arg.items():
             import re as _re
 
-            df = df.withColumn(field_name(ref), F.split(field_col(ref), _re.escape(sep)))
+            if field_exists(df, ref):
+                df = set_field(df, ref, F.split(
+                    field_col(ref), _re.escape(sep)))
         return df
 
     def _op_join(self, df, arg: dict):
         for ref, sep in arg.items():
-            df = df.withColumn(field_name(ref), F.array_join(field_col(ref), sep))
+            if field_exists(df, ref):
+                df = set_field(df, ref, F.array_join(field_col(ref), sep))
         return df
 
     def _op_merge(self, df, arg: dict):
         # merge src array/map field into dest
         for dest, src in arg.items():
-            d, s = field_name(dest), field_name(src)
-            dt = dict(df.dtypes).get(d, "")
-            if dt.startswith("map"):
-                df = df.withColumn(d, F.map_concat(F.col(d), F.col(s)))
+            dt = _leaf_dtype(df, dest) if field_exists(df, dest) else None
+            ds = dt.simpleString() if dt is not None else ""
+            if ds.startswith("map"):
+                df = set_field(df, dest, F.map_concat(
+                    field_col(dest), field_col(src)))
             else:
-                df = df.withColumn(d, F.concat(F.col(d), F.col(s)))
+                df = set_field(df, dest, F.concat(
+                    field_col(dest), field_col(src)))
         return df
 
     def _op_copy(self, df, arg: dict):
         for src, dest in arg.items():
-            df = df.withColumn(field_name(dest), field_col(src))
+            df = set_field(df, dest, field_col(src))
         return df
 
 
@@ -418,7 +468,11 @@ class FingerprintStage(Stage):
             "XX64": lambda c: F.xxhash64(c).cast("string"),
             **_DIGEST_FN,
         }[method]
-        if self.conf.get("concatenate_sources", False) and len(sources) > 1:
+        # fingerprint.rb applies the '|name|value|' form whenever
+        # concatenate_sources is set, REGARDLESS of source count — a
+        # single-source concatenated fingerprint must stay comparable
+        # with a reference deployment's
+        if self.conf.get("concatenate_sources", False):
             # '|k1|v1|k2|v2|' — "#{nil}" is the empty string in Ruby
             src = F.concat(
                 *[F.concat(F.lit(f"|{s}|"),

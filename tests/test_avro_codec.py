@@ -294,3 +294,45 @@ def test_tag_on_failure_corrupt_file(spark, tmp_path):
     got = {(r["message"], tuple(r["tags"] or ())) for r in rows}
     assert got == {
         (None, ("_avroparsefailure",)), ("ok1", ()), ("ok2", ())}
+
+
+def test_tag_on_failure_record_with_own_tags_field(spark, tmp_path):
+    """An avro record whose schema ITSELF has a `tags` array<string>
+    field: no duplicate column, decoded tags values survive on good
+    rows, and the corrupt-file row carries the failure tag (review
+    finding: good rows' tags were clobbered to null)."""
+    schema = json.dumps({"type": "record", "name": "logev", "fields": [
+        {"name": "message", "type": "string"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}}]})
+    d = tmp_path / "owntags"
+    d.mkdir()
+    _jvm_write_avro(spark, str(d / "good.avro"), schema,
+                    [dict(message="ok", tags=["real", "decoded"])])
+    good = (d / "good.avro").read_bytes()
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF
+    (d / "bad.avro").write_bytes(bytes(bad))
+
+    df = resolve_input(spark, "file", {
+        "path": str(d), "codec": "avro", "avro_schema": schema,
+        "tag_on_failure": True})
+    assert df.columns.count("tags") == 1
+    got = {(r["message"], tuple(r["tags"] or ())) for r in df.collect()}
+    assert got == {("ok", ("real", "decoded")),
+                   (None, ("_avroparsefailure",))}
+
+
+def test_tag_on_failure_incompatible_tags_type_rejected(spark, tmp_path):
+    """A record `tags` field that is not array<string> cannot carry the
+    failure tag — loud plan-time error, not a silent type clash."""
+    schema = json.dumps({"type": "record", "name": "logev", "fields": [
+        {"name": "message", "type": "string"},
+        {"name": "tags", "type": "string"}]})
+    d = tmp_path / "badtags"
+    d.mkdir()
+    _jvm_write_avro(spark, str(d / "a.avro"), schema,
+                    [dict(message="ok", tags="scalar")])
+    with pytest.raises(ValueError, match="cannot carry"):
+        resolve_input(spark, "file", {
+            "path": str(d), "codec": "avro", "avro_schema": schema,
+            "tag_on_failure": True})

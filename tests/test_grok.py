@@ -35,6 +35,19 @@ def test_grok_int_conversion_truncates_floats():
     big = "9223372036854775807"
     out = grok_extract_batch(pd.Series([big]), [cg])
     assert out.loc[0, "x"] == 9223372036854775807
+    # int64-max MIXED with a float in the same batch: the float hop
+    # made this unsafe-castable and aborted the whole Arrow batch
+    out = grok_extract_batch(pd.Series([big, "1.5"]), [cg])
+    assert list(out["x"]) == [9223372036854775807, 1]
+    # exact past 2**53 even when the batch has a float (no float hop)
+    out = grok_extract_batch(pd.Series(["9007199254740993", "2.5"]), [cg])
+    assert list(out["x"]) == [9007199254740993, 2]
+    # out-of-int64-range → null, batch survives (Ruby bignum cannot
+    # live in a long column — try_ discipline)
+    out = grok_extract_batch(
+        pd.Series(["99999999999999999999", "7", "-1.5"]), [cg])
+    assert pd.isna(out.loc[0, "x"])
+    assert list(out["x"][1:]) == [7, -1]
 
 
 def test_grok_all_optional_captures_still_match():

@@ -318,3 +318,246 @@ def test_convert_boolean_dirty_value_nulls(spark):
     out = apply_stage(df, {"mutate": {"convert": {"f": "boolean"}}})
     rows = {r.id: r.f for r in out.collect()}
     assert rows == {1: True, 2: None, 3: False}
+
+
+# ---- nested add_field on existing structs (review round-5 finding) --------
+
+def test_add_field_new_key_in_existing_struct(spark):
+    """Adding a NEW key to an existing struct must not build a CASE WHEN
+    with mismatched struct branch types (withField retypes the struct)."""
+    df = spark.createDataFrame(
+        [(1, ("x",))], "id int, a struct<b:string>")
+    out = apply_stage(df, {"mutate": {"add_field": {"[a][c]": "v-%{id}"}}})
+    row = out.collect()[0]
+    assert row["a"]["b"] == "x"
+    assert row["a"]["c"] == "v-1"
+
+
+def test_add_field_creates_missing_intermediates(spark):
+    """[a][x][y] with no intermediate x: the reference's Event#setField
+    creates intermediate hashes — we create intermediate structs."""
+    df = spark.createDataFrame(
+        [(1, ("x",))], "id int, a struct<b:string>")
+    out = apply_stage(df, {"mutate": {"add_field": {"[a][x][y]": "deep"}}})
+    row = out.collect()[0]
+    assert row["a"]["b"] == "x"
+    assert row["a"]["x"]["y"] == "deep"
+
+
+def test_add_field_overwrites_non_hash_intermediate(spark):
+    """Ruby overwrites a non-hash intermediate with a hash on nested set."""
+    df = spark.createDataFrame(
+        [(1, ("x", "scalar"))], "id int, a struct<b:string,x:string>")
+    out = apply_stage(df, {"mutate": {"add_field": {"[a][x][y]": "deep"}}})
+    row = out.collect()[0]
+    assert row["a"]["x"]["y"] == "deep"
+
+
+def test_conditional_add_field_new_struct_key(spark):
+    """Success-conditioned (grok matched) nested add of a NEW key: the
+    otherwise branch must be type-matched; unmatched rows keep siblings
+    and get a null new key."""
+    df = spark.createDataFrame(
+        [(1, "dur=15", ("k1",)), (2, "nope", ("k2",))],
+        "id int, message string, meta struct<keep:string>")
+    out = apply_stage(df, {
+        "grok": {
+            "match": {"message": "dur=%{INT:dur}"},
+            "add_field": {"[meta][hit]": "y-%{id}"},
+        }})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["meta"]["keep"] == "k1" and rows[1]["meta"]["hit"] == "y-1"
+    assert rows[2]["meta"]["keep"] == "k2" and rows[2]["meta"]["hit"] is None
+
+
+def test_conditional_add_field_existing_struct_key(spark):
+    """Replacing an EXISTING nested key under a matched condition keeps
+    the old value on unmatched rows."""
+    df = spark.createDataFrame(
+        [(1, "dur=15", ("old1",)), (2, "nope", ("old2",))],
+        "id int, message string, meta struct<v:string>")
+    out = apply_stage(df, {
+        "grok": {
+            "match": {"message": "dur=%{INT:dur}"},
+            "add_field": {"[meta][v]": "new"},
+        }})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["meta"]["v"] == "new"
+    assert rows[2]["meta"]["v"] == "old2"
+
+
+def test_fingerprint_concatenate_sources_single_source(spark):
+    """fingerprint.rb applies '|name|value|' whenever
+    concatenate_sources is set — even for ONE source (review finding:
+    single-source was silently hashing the raw value)."""
+    import hashlib
+
+    df = spark.createDataFrame([("hello",)], "message string")
+    out = apply_stage(df, {"fingerprint": {
+        "source": ["message"], "concatenate_sources": True,
+        "method": "SHA256"}})
+    got = out.collect()[0]["fingerprint"]
+    assert got == hashlib.sha256(b"|message|hello|").hexdigest()
+
+
+def test_gsub_ruby_whole_match_backref(spark):
+    """Ruby's \\& (whole match) must translate to Java's $0; the
+    pre/post-match refs \\` \\' \\+ have no Java spelling → loud error."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("ab",)], "f string")
+    out = apply_stage(df, {"mutate": {"gsub": ["f", "a(b)", "<\\&>"]}})
+    assert out.collect()[0]["f"] == "<ab>"
+    with _pytest.raises(Exception, match="no Java regexp_replace"):
+        apply_stage(df, {"mutate": {"gsub": ["f", "a", "\\`x"]}}).collect()
+
+
+def test_conditional_nested_remove_field(spark):
+    """Success-conditioned nested remove_field: a CASE over
+    dropped-vs-original structs is two different struct types (analysis
+    error, found in round-5 review). The lowering nulls the leaf in
+    place: matched rows lose the value, unmatched keep it, siblings
+    survive everywhere."""
+    df = spark.createDataFrame(
+        [(1, "dur=15", ("k1", "g1")), (2, "nope", ("k2", "g2"))],
+        "id int, message string, meta struct<keep:string,gone:string>")
+    out = apply_stage(df, {"grok": {
+        "match": {"message": "dur=%{INT:dur}"},
+        "remove_field": ["[meta][gone]"]}})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["meta"]["keep"] == "k1" and rows[1]["meta"]["gone"] is None
+    assert rows[2]["meta"]["keep"] == "k2" and rows[2]["meta"]["gone"] == "g2"
+
+
+def test_nested_remove_field_missing_path_noop(spark):
+    """remove_field on a nested key that does not exist is a reference
+    no-op — dropFields on a missing field would fail analysis."""
+    df = spark.createDataFrame(
+        [(1, "dur=15", ("k1",))],
+        "id int, message string, meta struct<keep:string>")
+    for spec in (
+        {"mutate": {"remove_field": ["[meta][nope]", "[meta][a][b]"]}},
+        {"grok": {"match": {"message": "dur=%{INT:dur}"},
+                  "remove_field": ["[meta][nope]"]}},
+    ):
+        out = apply_stage(df, spec)
+        assert out.collect()[0]["meta"]["keep"] == "k1"
+
+
+# ---- nested field refs across mutate ops (round-5 review finding:
+# field_name() collapsed [a][b] write targets to the whole top-level
+# column, silently clobbering siblings) -------------------------------------
+
+def test_mutate_replace_nested_keeps_siblings(spark):
+    df = spark.createDataFrame(
+        [(1, ("x", "y"))], "id int, a struct<b:string,c:string>")
+    out = apply_stage(df, {"mutate": {"replace": {"[a][b]": "new-%{id}"}}})
+    row = out.collect()[0]
+    assert row["a"]["b"] == "new-1" and row["a"]["c"] == "y"
+
+
+def test_mutate_replace_nested_new_key(spark):
+    df = spark.createDataFrame([(1, ("x",))], "id int, a struct<b:string>")
+    out = apply_stage(df, {"mutate": {"replace": {"[a][z]": "v"}}})
+    row = out.collect()[0]
+    assert row["a"]["b"] == "x" and row["a"]["z"] == "v"
+
+
+def test_mutate_update_nested_only_when_present(spark):
+    df = spark.createDataFrame(
+        [(1, ("x",)), (2, (None,))], "id int, a struct<b:string>")
+    out = apply_stage(df, {"mutate": {"update": {"[a][b]": "u", "[a][nope]": "n"}}})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["a"]["b"] == "u"
+    assert rows[2]["a"]["b"] is None          # null leaf → update skipped
+    assert "nope" not in rows[1]["a"].asDict()  # missing path → op skipped
+
+
+def test_mutate_gsub_uppercase_strip_nested(spark):
+    df = spark.createDataFrame(
+        [(1, (" ab-cd ", "keep"))], "id int, a struct<b:string,c:string>")
+    out = apply_stage(df, {"mutate": {
+        "strip": ["[a][b]"], "gsub": ["[a][b]", "-", "_"],
+        "uppercase": ["[a][b]"]}})
+    row = out.collect()[0]
+    assert row["a"]["b"] == "AB_CD" and row["a"]["c"] == "keep"
+
+
+def test_mutate_convert_nested_leaf(spark):
+    df = spark.createDataFrame(
+        [(1, ("42", "s"))], "id int, a struct<n:string,s:string>")
+    out = apply_stage(df, {"mutate": {"convert": {"[a][n]": "integer"}}})
+    row = out.collect()[0]
+    assert row["a"]["n"] == 42 and row["a"]["s"] == "s"
+    # missing field → reference no-op, not an analysis error
+    out2 = apply_stage(df, {"mutate": {"convert": {"[a][zz]": "integer",
+                                                   "ghost": "integer"}}})
+    assert out2.collect()[0]["a"]["n"] == "42"
+
+
+def test_mutate_copy_into_nested_dest(spark):
+    df = spark.createDataFrame(
+        [(1, "msg", ("x",))], "id int, message string, meta struct<k:string>")
+    out = apply_stage(df, {"mutate": {"copy": {"message": "[meta][copy]"}}})
+    row = out.collect()[0]
+    assert row["meta"]["k"] == "x" and row["meta"]["copy"] == "msg"
+
+
+def test_mutate_rename_nested_to_top_and_back(spark):
+    df = spark.createDataFrame(
+        [(1, ("v", "w"))], "id int, a struct<b:string,c:string>")
+    out = apply_stage(df, {"mutate": {"rename": {"[a][b]": "flat"}}})
+    row = out.collect()[0]
+    assert row["flat"] == "v"
+    assert row["a"].asDict() == {"c": "w"}  # sibling kept, leaf dropped
+    out2 = apply_stage(out, {"mutate": {"rename": {"flat": "[a][d]"}}})
+    row2 = out2.collect()[0]
+    assert "flat" not in out2.columns
+    assert row2["a"]["d"] == "v" and row2["a"]["c"] == "w"
+
+
+def test_mutate_rename_collapses_emptied_struct(spark):
+    """Renaming the ONLY leaf out of a struct: Spark cannot keep an
+    empty struct (documented deviation vs Ruby's leftover {}) — the
+    emptied ancestor collapses."""
+    df = spark.createDataFrame([(1, ("v",))], "id int, a struct<b:string>")
+    out = apply_stage(df, {"mutate": {"rename": {"[a][b]": "flat"}}})
+    assert "a" not in out.columns
+    assert out.collect()[0]["flat"] == "v"
+    # deep chain: removing d collapses up to the empty c, keeps b
+    df2 = spark.createDataFrame(
+        [(1, (("x", ("y",)),))],
+        "id int, a struct<b:struct<keep:string,c:struct<d:string>>>")
+    out2 = apply_stage(df2, {"mutate": {"rename": {"[a][b][c][d]": "flat"}}})
+    row = out2.collect()[0]
+    assert row["flat"] == "y"
+    assert row["a"]["b"].asDict() == {"keep": "x"}
+
+
+def test_mutate_coerce_nested_default(spark):
+    df = spark.createDataFrame(
+        [(1, (None, "s")), (2, ("v", "t"))],
+        "id int, a struct<b:string,c:string>")
+    out = apply_stage(df, {"mutate": {"coerce": {"[a][b]": "dflt"}}})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["a"]["b"] == "dflt" and rows[2]["a"]["b"] == "v"
+
+
+def test_conditional_mutate_nested_new_key_pipeline(spark):
+    """A when-wrapped mutate writing a NEW nested key retypes the
+    struct; the merge lowering must align the unmatched rows' backup
+    into the new shape (round-5 finding: CASE branch type mismatch)."""
+    from logstash_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "en", ("k1",)), (2, "de", ("k2",))],
+        "id int, lang string, meta struct<keep:string>")
+    pipe = Pipeline({
+        "id": "t", "filters": [
+            {"when": "[lang] == 'en'",
+             "mutate": {"replace": {"[meta][hit]": "y-%{id}"}}}],
+    })
+    rows = {r.id: r for r in pipe.compile(df).collect()}
+    pipe.release_branch_caches()
+    assert rows[1].meta["keep"] == "k1" and rows[1].meta["hit"] == "y-1"
+    assert rows[2].meta["keep"] == "k2" and rows[2].meta["hit"] is None

@@ -339,3 +339,35 @@ def test_cef_decode(spark):
     c4 = r[4].cef
     assert c4.device_product == "prod\\" and c4.device_version == "1.0"
     assert c4.severity == "5" and dict(c4.extensions) == {"k": "v"}
+
+
+def test_joda_zone_tokens_translate_length_matched():
+    """Joda Z runs are LENGTH-matched (review round-5 finding: a blind
+    'ZZ'→'XXX' substring replace mangled 'ZZZ' into 'XXXZ'):
+    Z→Z (+0100), ZZ→xxx (+01:00, never the bare 'Z' java XXX emits at
+    UTC — Joda ZZ prints +00:00), ZZZ+→VV (zone id). Quoted literals
+    pass through; Y-runs (Joda era-year) → y; x (Joda weekyear) → Y."""
+    from logstash_spark.fieldref import _joda_to_java
+
+    assert _joda_to_java("yyyy-MM-dd Z") == "yyyy-MM-dd Z"
+    assert _joda_to_java("yyyy-MM-dd ZZ") == "yyyy-MM-dd xxx"
+    assert _joda_to_java("yyyy-MM-dd ZZZ") == "yyyy-MM-dd VV"
+    assert _joda_to_java("xxxx-'W'ww Y") == "YYYY-'W'ww y"
+    # quoted literal containing Z stays verbatim
+    assert _joda_to_java("'Zulu 'HH ZZ") == "'Zulu 'HH xxx"
+
+
+def test_date_stage_joda_zz_colon_offset(spark):
+    """A config ported from the reference with Joda 'ZZ' must parse
+    colon offsets like +02:00 (java 'xxx'), and 'ZZZ' zone ids."""
+    df = spark.createDataFrame(
+        [(1, "2026-07-18 10:25:11 +02:00"),
+         (2, "2026-07-18 08:25:11 +00:00")],
+        "id int, timestamp string")
+    out = apply_stage(df, {"date": {
+        "match": ["timestamp", "yyyy-MM-dd HH:mm:ss ZZ"],
+        "target": "event_ts"}})
+    rows = {r.id: r for r in out.collect()}
+    expect = datetime.datetime(2026, 7, 18, 8, 25, 11)
+    assert rows[1].event_ts == expect
+    assert rows[2].event_ts == expect
