@@ -990,8 +990,18 @@ def grok_extract_batch(
             # deviation). Plain astype('Int64') would instead abort the
             # whole Arrow batch on the first non-integral value.
             num = pd.to_numeric(out[fname], errors="coerce")
+            as_int64 = None
             if pd.api.types.is_integer_dtype(num):
-                out[fname] = num.astype("Int64")  # exact, no float hop
+                try:
+                    as_int64 = num.astype("Int64")  # exact, no float hop
+                except TypeError:
+                    # uint64 captures in [2**63, 2**64) make to_numeric
+                    # return uint64, whose safe-cast to Int64 raises —
+                    # fall through to the prefix path, which nulls the
+                    # out-of-range values instead of aborting the batch
+                    as_int64 = None
+            if as_int64 is not None:
+                out[fname] = as_int64
             else:
                 # mixed/float captures: Ruby to_i is the integer PREFIX
                 # of the decimal string, parsed exactly — no float hop

@@ -288,6 +288,17 @@ def _align_to(col, old_t, new_t):
                 parts.append(F.lit(None).cast(f.dataType).alias(f.name))
         return F.when(col.isNull(), F.lit(None).cast(new_t)).otherwise(
             F.struct(*parts))
+    if isinstance(new_t, StructType):
+        # scalar → struct has no cast (try_cast fails ANALYSIS, not
+        # runtime): a conditional stage retyped a scalar column into a
+        # struct, and unmatched rows cannot keep their scalar value in
+        # the struct-typed column. Refuse loudly — silent null-out
+        # would corrupt every unmatched row.
+        raise ValueError(
+            f"conditional stage retypes a column from "
+            f"{old_t.simpleString()} to {new_t.simpleString()}; "
+            "unmatched rows cannot keep the original value in a typed "
+            "schema — write unconditionally or use a different target")
     return col.try_cast(new_t)
 
 

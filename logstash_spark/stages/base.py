@@ -102,15 +102,61 @@ def _struct_leaf_type(dtype, path: list[str]):
     return cur
 
 
+def _existing_nonstruct_intermediate(dtype, path: list[str]) -> str | None:
+    """First intermediate segment of ``path`` that EXISTS in ``dtype``
+    with a non-struct type (so a write through it would overwrite a
+    real value with a vivified struct), or None when every existing
+    intermediate is a struct. Missing segments are fine — vivification
+    creates them without destroying anything."""
+    from pyspark.sql.types import StructType
+
+    cur = dtype
+    for p in path[:-1]:
+        if not isinstance(cur, StructType):
+            return None  # parent already non-struct: caught one level up
+        if p not in cur.fieldNames():
+            return None  # missing → vivify, nothing to destroy
+        cur = cur[p].dataType
+        if not isinstance(cur, StructType):
+            return p
+    return None
+
+
+def _map_set_key(col: Column, dtype, key: str, val: Column) -> Column:
+    """Upsert ``key`` in a map column (last-wins without depending on
+    spark.sql.mapKeyDedupPolicy): filter the key out, concat the new
+    entry. A null map becomes a one-entry map (Event#setField vivifies
+    @metadata on first write)."""
+    base = F.coalesce(col, F.create_map().cast(dtype.simpleString()))
+    kept = F.map_filter(base, lambda k, _: k != F.lit(key))
+    entry = F.create_map(
+        F.lit(key).cast(dtype.keyType), val.try_cast(dtype.valueType))
+    return F.map_concat(kept, entry)
+
+
 def _drop_field_path(df: DataFrame, parts: list[str]) -> DataFrame:
     """Drop the leaf at ``parts`` and collapse any ancestor struct the
     removal would leave EMPTY. Documented deviation: Ruby's Hash#delete
     leaves an empty ``{}`` behind, but Spark cannot represent an empty
     struct (dropFields errors on dropping the last field), so the
-    emptied ancestor chain collapses instead."""
+    emptied ancestor chain collapses instead. A map-typed top column
+    (``[@metadata][k]``) removes the KEY via map_filter — maps, unlike
+    structs, can express per-key absence directly."""
+    from pyspark.sql.types import MapType, StructType
+
+    top_t = df.schema[parts[0]].dataType
+    if isinstance(top_t, MapType) and len(parts) == 2:
+        key = parts[1]
+        return df.withColumn(parts[0], F.map_filter(
+            F.col(parts[0]), lambda k, _: k != F.lit(key)))
     sizes = []
-    cur = df.schema[parts[0]].dataType
+    cur = top_t
     for p in parts[1:]:
+        if not isinstance(cur, StructType):
+            raise ValueError(
+                "cannot remove nested field "
+                f"[{']['.join(parts)}]: intermediate is "
+                f"{cur.simpleString()}, not a struct")
         sizes.append(len(cur.fields))
         cur = cur[p].dataType
     k = None
@@ -134,6 +180,8 @@ def set_field(df: DataFrame, ref: str, val: Column) -> DataFrame:
     a typed column cannot grow a per-row list slot."""
     from ..fieldref import _canonical, parse_ref
 
+    from pyspark.sql.types import MapType
+
     parts = _canonical(parse_ref(ref))
     name = parts[0]
     if len(parts) == 1:
@@ -141,9 +189,23 @@ def set_field(df: DataFrame, ref: str, val: Column) -> DataFrame:
     if any(p.isdigit() for p in parts[1:]):
         raise ValueError(
             f"set into a list index is not supported: {ref!r}")
-    if name in df.columns and dict(df.dtypes)[name].startswith("struct"):
-        return df.withColumn(name, _set_struct_path(
-            F.col(name), df.schema[name].dataType, parts[1:], val))
+    if name in df.columns:
+        top_t = df.schema[name].dataType
+        if isinstance(top_t, MapType):
+            # map-typed top (canonically [@metadata] → the _meta map):
+            # upsert the KEY — clobbering the whole map with a struct
+            # would destroy every other entry AND retype the column
+            # out from under later %{[@metadata][...]} reads
+            if len(parts) != 2:
+                raise ValueError(
+                    f"set {ref!r}: column {name!r} is a map of "
+                    f"{top_t.valueType.simpleString()} values — only "
+                    "single-level key writes are supported")
+            return df.withColumn(name, _map_set_key(
+                F.col(name), top_t, parts[1], val))
+        if dict(df.dtypes)[name].startswith("struct"):
+            return df.withColumn(name, _set_struct_path(
+                F.col(name), top_t, parts[1:], val))
     inner = val
     for p in reversed(parts[1:]):
         inner = F.struct(inner.alias(p))
@@ -156,6 +218,8 @@ def field_exists(df: DataFrame, ref: str) -> bool:
     'skip when field missing' discipline of update/convert/coerce)."""
     from ..fieldref import _canonical, parse_ref
 
+    from pyspark.sql.types import MapType
+
     parts = _canonical(parse_ref(ref))
     if parts[0] not in df.columns:
         return False
@@ -165,8 +229,13 @@ def field_exists(df: DataFrame, ref: str) -> bool:
         # list index: existence is per-row, not schema-static — treat
         # the path as present iff the array column resolves
         return True
-    return _struct_leaf_type(
-        df.schema[parts[0]].dataType, parts[1:]) is not None
+    top_t = df.schema[parts[0]].dataType
+    if isinstance(top_t, MapType):
+        # map keys are per-row, not schema-static: treat single-level
+        # key refs as present (getField yields null for absent keys and
+        # every op's null discipline handles that per row)
+        return len(parts) == 2
+    return _struct_leaf_type(top_t, parts[1:]) is not None
 
 
 def ensure_tags(df: DataFrame) -> DataFrame:
@@ -260,11 +329,47 @@ class Stage:
                 # whole-column write would clobber the siblings and
                 # retype the column (the reference sets only [a][b])
                 if name in out.columns:
+                    from pyspark.sql.types import MapType
+
+                    top_t = out.schema[name].dataType
+                    if isinstance(top_t, MapType):
+                        # map top ([@metadata][k]): key upsert — both
+                        # CASE branches are the same map type, so the
+                        # conditional form needs no alignment tricks
+                        if len(parts) != 2:
+                            raise ValueError(
+                                f"add_field: {ref!r} targets a key "
+                                f"inside map values of column {name!r}"
+                                " — only single-level key writes are "
+                                "supported")
+                        new = _map_set_key(F.col(name), top_t, parts[1], val)
+                        out = out.withColumn(
+                            name, new if matched is None else
+                            F.when(cond, new).otherwise(F.col(name)))
+                        continue
                     if not dict(out.dtypes)[name].startswith("struct"):
                         raise ValueError(
                             f"add_field: {ref!r} targets a nested key "
                             f"but column {name!r} is not a struct")
                     dtype = out.schema[name].dataType
+                    if matched is not None:
+                        # a conditional write THROUGH an existing
+                        # non-struct intermediate would have to vivify
+                        # it into a struct on every row — destroying
+                        # the original value on rows the filter did NOT
+                        # match (the reference leaves unmatched events
+                        # untouched). A typed column cannot hold both
+                        # shapes; refuse loudly instead of corrupting.
+                        bad = _existing_nonstruct_intermediate(
+                            dtype, parts[1:])
+                        if bad is not None:
+                            raise ValueError(
+                                f"add_field: {ref!r} writes through "
+                                f"[{bad}], which exists with a "
+                                "non-struct type — a conditional write "
+                                "cannot retype it without clobbering "
+                                "unmatched rows; rename the "
+                                "intermediate or write unconditionally")
                     new = _set_struct_path(F.col(name), dtype, parts[1:], val)
                     if matched is None:
                         # unconditional: assign directly — a
@@ -301,6 +406,17 @@ class Stage:
                 continue
             if len(parts) > 1:
                 # nested removal: drop ONE key, keep the siblings
+                from pyspark.sql.types import MapType
+
+                top_t = out.schema[name].dataType
+                if isinstance(top_t, MapType) and len(parts) == 2:
+                    key = parts[1]
+                    filtered = F.map_filter(
+                        F.col(name), lambda k, _: k != F.lit(key))
+                    out = out.withColumn(
+                        name, filtered if matched is None else
+                        F.when(cond, filtered).otherwise(F.col(name)))
+                    continue
                 if not dict(out.dtypes)[name].startswith("struct"):
                     continue  # non-struct top → nested key cannot exist
                 leaf_t = _struct_leaf_type(out.schema[name].dataType, parts[1:])

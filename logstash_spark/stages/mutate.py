@@ -19,14 +19,19 @@ from .base import (
 
 
 def _leaf_dtype(df: DataFrame, ref: str):
-    """Schema DataType at ``ref`` (top-level column or struct leaf);
-    None when the path has list-index segments (type is per-element)."""
+    """Schema DataType at ``ref`` (top-level column, struct leaf, or
+    map value); None when the path has list-index segments (type is
+    per-element)."""
+    from pyspark.sql.types import MapType
+
     parts = _canonical(parse_ref(ref))
     t = df.schema[parts[0]].dataType
     if len(parts) == 1:
         return t
     if any(p.isdigit() for p in parts[1:]):
         return None
+    if isinstance(t, MapType):
+        return t.valueType if len(parts) == 2 else None
     return _struct_leaf_type(t, parts[1:])
 
 
@@ -90,8 +95,13 @@ class MutateStage(Stage):
             if not field_exists(df, ref):
                 continue
             dt = _leaf_dtype(df, ref)
-            if dt is None:  # list-index path: per-row slot, not settable
-                continue
+            if dt is None:
+                # list-index path — same loud rejection set_field gives
+                # every other op (a silent skip here would make the one
+                # unsupported construct vanish or abort depending on
+                # which op it appears in)
+                raise ValueError(
+                    f"coerce into a list index is not supported: {ref!r}")
             df = set_field(df, ref, F.coalesce(
                 field_col(ref), F.lit(default).cast(dt)))
         return df
@@ -100,14 +110,29 @@ class MutateStage(Stage):
         for old, new in arg.items():
             po = _canonical(parse_ref(old))
             pn = _canonical(parse_ref(new))
+            if any(p.isdigit() for p in po[1:] + pn[1:]):
+                raise ValueError(
+                    "rename with a list-index ref is not supported: "
+                    f"{old!r} => {new!r}")
             if len(po) == 1 and len(pn) == 1:
-                # withColumnRenamed on a missing column is a no-op,
-                # matching mutate.rb's skip-if-absent
+                if po[0] not in df.columns:
+                    continue  # mutate.rb: missing source → skip
+                if pn[0] in df.columns and pn[0] != po[0]:
+                    # mutate.rb overwrites the destination (event.set);
+                    # withColumnRenamed onto an existing name would
+                    # create a duplicate column instead
+                    df = df.drop(pn[0])
                 df = df.withColumnRenamed(po[0], pn[0])
                 continue
             if not field_exists(df, old):
                 continue
             df = set_field(df, new, field_col(old))
+            # overlapping refs: when one path is a prefix of the other,
+            # the set_field rewrite already replaced the old slot —
+            # dropping it afterwards would destroy the value just
+            # written (rename a => [a][b] writes struct<b> INTO a)
+            if po == pn[: len(po)] or pn == po[: len(pn)]:
+                continue
             df = df.drop(po[0]) if len(po) == 1 else _drop_field_path(df, po)
         return df
 
@@ -248,7 +273,20 @@ class MutateStage(Stage):
     def _op_merge(self, df, arg: dict):
         # merge src array/map field into dest
         for dest, src in arg.items():
-            dt = _leaf_dtype(df, dest) if field_exists(df, dest) else None
+            if not field_exists(df, src):
+                continue  # mutate.rb: nil source → no-op
+            if not field_exists(df, dest):
+                # mutate.rb: nil dest → Array(nil).concat(Array(src)) —
+                # the source value (arrays/maps as-is, scalars wrapped
+                # into a one-element array)
+                st = _leaf_dtype(df, src)
+                ss = st.simpleString() if st is not None else ""
+                sv = field_col(src)
+                if not (ss.startswith("array") or ss.startswith("map")):
+                    sv = F.array(sv)
+                df = set_field(df, dest, sv)
+                continue
+            dt = _leaf_dtype(df, dest)
             ds = dt.simpleString() if dt is not None else ""
             if ds.startswith("map"):
                 df = set_field(df, dest, F.map_concat(

@@ -84,3 +84,19 @@ def test_grok_inline_named_captures_registered():
     cg = compile_grok(r"(?<=-)%{WORD:w}")
     out = grok_extract_batch(pd.Series(["-abc"]), [cg])
     assert out.loc[0, "w"] == "abc"
+
+
+def test_grok_int_uint64_range_goes_null_not_abort():
+    """An integer capture in [2**63, 2**64) makes pandas to_numeric
+    return uint64; the safe-cast to Int64 raises — the conversion must
+    fall to the exact-prefix path and null the out-of-range value
+    instead of aborting the whole Arrow batch (review finding)."""
+    import pandas as pd
+
+    from logstash_spark.grok import compile_grok, grok_extract_batch
+
+    c = compile_grok("%{NUMBER:x:int}")
+    out = grok_extract_batch(
+        pd.Series(["9223372036854775808", "42"]), [c])
+    assert out["x"].tolist()[0] is None or pd.isna(out["x"].tolist()[0])
+    assert out["x"].tolist()[1] == 42

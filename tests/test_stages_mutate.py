@@ -561,3 +561,159 @@ def test_conditional_mutate_nested_new_key_pipeline(spark):
     pipe.release_branch_caches()
     assert rows[1].meta["keep"] == "k1" and rows[1].meta["hit"] == "y-1"
     assert rows[2].meta["keep"] == "k2" and rows[2].meta["hit"] is None
+
+
+# ---- round-5 review-wave-3 regressions (nested fieldref edge cases) ----
+
+
+def test_rename_top_into_nested_same_column(spark):
+    """rename a => [a][b] must nest the value, not drop the column
+    (review: the post-set drop deleted the struct just written)."""
+    df = spark.createDataFrame([("v1",), ("v2",)], "a string")
+    out = apply_stage(df, {"mutate": {"rename": {"a": "[a][b]"}}})
+    assert out.columns == ["a"]
+    assert sorted(r["a"]["b"] for r in out.collect()) == ["v1", "v2"]
+
+
+def test_rename_nested_onto_own_parent(spark):
+    """rename [a][b] => a hoists the leaf over its parent without
+    crashing on the now-scalar column."""
+    df = spark.createDataFrame(
+        [(("x", "y"),)], "a struct<b:string,c:string>")
+    out = apply_stage(df, {"mutate": {"rename": {"[a][b]": "a"}}})
+    assert dict(out.dtypes)["a"] == "string"
+    assert out.collect()[0]["a"] == "x"
+
+
+def test_rename_list_index_rejected(spark):
+    df = spark.createDataFrame([(["x"],)], "arr array<string>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="list-index"):
+        apply_stage(df, {"mutate": {"rename": {"[arr][0]": "first"}}})
+
+
+def test_rename_overwrites_existing_dest(spark):
+    """mutate.rb rename sets the destination — a pre-existing dest
+    column is overwritten, never duplicated."""
+    df = spark.createDataFrame([("old", "keep")], "b string, a string")
+    out = apply_stage(df, {"mutate": {"rename": {"a": "b"}}})
+    assert out.columns == ["b"]
+    assert out.collect()[0]["b"] == "keep"
+
+
+def test_merge_into_missing_dest_copies_source(spark):
+    """mutate.rb merge: nil dest => Array(nil).concat(Array(src)) —
+    array sources copy as-is, scalars wrap into a one-element array."""
+    df = spark.createDataFrame(
+        [(["x", "y"], "s")], "arr array<string>, sc string")
+    out = apply_stage(df, {"mutate": {"merge": {"d1": "arr", "d2": "sc"}}})
+    row = out.collect()[0]
+    assert row["d1"] == ["x", "y"]
+    assert row["d2"] == ["s"]
+
+
+def test_merge_missing_source_noop(spark):
+    df = spark.createDataFrame([(["x"],)], "arr array<string>")
+    out = apply_stage(df, {"mutate": {"merge": {"arr": "nope"}}})
+    assert out.collect()[0]["arr"] == ["x"]
+
+
+def test_coerce_list_index_rejected(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame([(["x"],)], "a array<string>")
+    with _pytest.raises(ValueError, match="list index"):
+        apply_stage(df, {"mutate": {"coerce": {"[a][0]": "d"}}})
+
+
+def test_metadata_map_key_upsert_preserves_siblings(spark):
+    """[@metadata][k] writes must upsert ONE map key — clobbering the
+    map with a struct would destroy every other entry and break later
+    %{[@metadata][...]} reads (review finding)."""
+    df = spark.createDataFrame(
+        [({"k0": "v0"},)], "_meta map<string,string>")
+    out = apply_stage(
+        df, {"mutate": {"replace": {"[@metadata][k]": "v"}}})
+    assert dict(out.dtypes)["_meta"].startswith("map")
+    m = out.collect()[0]["_meta"]
+    assert m == {"k0": "v0", "k": "v"}
+    # overwrite an existing key (last-wins, no dedup-policy dependence)
+    out2 = apply_stage(
+        out, {"mutate": {"replace": {"[@metadata][k0]": "new"}}})
+    assert out2.collect()[0]["_meta"] == {"k0": "new", "k": "v"}
+
+
+def test_metadata_map_update_gsub_per_row(spark):
+    """update/gsub on a map key work per-row (key presence is per-row,
+    not schema-static)."""
+    df = spark.createDataFrame(
+        [({"k": "ab"},), ({"other": "zz"},)], "_meta map<string,string>")
+    out = apply_stage(
+        df, {"mutate": {"gsub": ["[@metadata][k]", "a", "X"]}})
+    rows = [r["_meta"] for r in out.collect()]
+    assert {"k": "Xb"} in rows
+    # the row without the key keeps its entries; gsub writes null for it
+    other = next(m for m in rows if "other" in m)
+    assert other["other"] == "zz"
+
+
+def test_metadata_map_null_map_vivifies(spark):
+    df = spark.createDataFrame(
+        [(1, None)], "id int, _meta map<string,string>")
+    out = apply_stage(
+        df, {"mutate": {"replace": {"[@metadata][k]": "v"}}})
+    assert out.collect()[0]["_meta"] == {"k": "v"}
+
+
+def test_remove_field_map_key(spark):
+    df = spark.createDataFrame(
+        [({"a": "1", "b": "2"},)], "_meta map<string,string>")
+    out = apply_stage(
+        df, {"mutate": {"remove_field": ["[@metadata][a]"]}})
+    assert out.collect()[0]["_meta"] == {"b": "2"}
+
+
+def test_add_field_map_key_conditional(spark):
+    """Conditional add_field into a map column: matched rows gain the
+    key, unmatched rows keep the map untouched (same type both CASE
+    branches — no alignment needed)."""
+    df = spark.createDataFrame(
+        [("dur=5 x", {"k0": "a"}), ("nope", {"k0": "b"})],
+        "message string, _meta map<string,string>")
+    out = apply_stage(df, {"grok": {
+        "match": {"message": r"dur=%{INT:dur}"},
+        "add_field": {"[@metadata][hit]": "y"}}})
+    rows = {r["_meta"]["k0"]: r["_meta"] for r in out.collect()}
+    assert rows["a"] == {"k0": "a", "hit": "y"}
+    assert rows["b"] == {"k0": "b"}
+
+
+def test_conditional_add_field_through_scalar_intermediate_rejected(spark):
+    """A conditional add_field through an EXISTING non-struct
+    intermediate cannot keep unmatched rows intact in a typed schema —
+    must refuse loudly, not clobber (review finding)."""
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [("dur=5", ("keep", "scalar"))],
+        "message string, a struct<keep:string,x:string>")
+    with _pytest.raises(ValueError, match="non-struct"):
+        apply_stage(df, {"grok": {
+            "match": {"message": r"dur=%{INT:dur}"},
+            "add_field": {"[a][x][y]": "v"}}})
+
+
+def test_conditional_scalar_to_struct_retype_rejected(spark):
+    """A when-wrapped mutate that retypes a scalar column into a struct
+    has no lawful otherwise branch — the merge lowering must refuse
+    loudly instead of failing analysis or nulling unmatched rows."""
+    import pytest as _pytest
+    from logstash_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "en", "plain")], "id int, lang string, meta string")
+    pipe = Pipeline({
+        "id": "t", "filters": [
+            {"when": "[lang] == 'en'",
+             "mutate": {"replace": {"[meta][hit]": "y"}}}],
+    })
+    with _pytest.raises(ValueError, match="retypes"):
+        pipe.compile(df).collect()
