@@ -271,29 +271,62 @@ class MutateStage(Stage):
         return df
 
     def _op_merge(self, df, arg: dict):
-        # merge src array/map field into dest
+        # mutate.rb merge (mutate.rb `merge` method):
+        #   dest.is_a?(Hash) ^ src.is_a?(Hash)  → error log, event unchanged
+        #   dest.is_a?(Hash)                    → dest.update(src) (src wins)
+        #   else → Array(dest).concat(Array(src))  [Array(nil)=[], Array(x)=[x]]
+        # Types are schema-static here, so the per-event Hash-XOR error
+        # becomes a plan-time warning + no-op (same effect on the data).
+        import warnings
+
         for dest, src in arg.items():
             if not field_exists(df, src):
                 continue  # mutate.rb: nil source → no-op
+            st = _leaf_dtype(df, src)
+            ss = st.simpleString() if st is not None else ""
+            src_is_map = ss.startswith("map")
+            sv = field_col(src)
             if not field_exists(df, dest):
-                # mutate.rb: nil dest → Array(nil).concat(Array(src)) —
-                # the source value (arrays/maps as-is, scalars wrapped
-                # into a one-element array)
-                st = _leaf_dtype(df, src)
-                ss = st.simpleString() if st is not None else ""
-                sv = field_col(src)
-                if not (ss.startswith("array") or ss.startswith("map")):
-                    sv = F.array(sv)
-                df = set_field(df, dest, sv)
+                # nil dest: Array(nil).concat(Array(src)) — but a Hash
+                # src trips the XOR guard first (nil is not a Hash)
+                if src_is_map:
+                    warnings.warn(
+                        f"mutate merge {dest!r} <= {src!r}: cannot merge "
+                        "a hash into a missing (nil) destination "
+                        "(reference XOR guard) — no-op")
+                    continue
+                df = set_field(
+                    df, dest, sv if ss.startswith("array") else F.array(sv))
                 continue
             dt = _leaf_dtype(df, dest)
             ds = dt.simpleString() if dt is not None else ""
-            if ds.startswith("map"):
+            dest_is_map = ds.startswith("map")
+            if dest_is_map != src_is_map:
+                warnings.warn(
+                    f"mutate merge {dest!r} <= {src!r}: cannot merge "
+                    f"{ss or 'value'} into {ds or 'value'} (reference "
+                    "Hash-XOR guard) — no-op")
+                continue
+            dv = field_col(dest)
+            if dest_is_map:
+                # Hash#update: src wins on key overlap. map_concat alone
+                # THROWS on duplicate keys under the default
+                # mapKeyDedupPolicy=EXCEPTION — drop overlapped dest
+                # keys first, exactly like _map_set_key does.
+                src_keys = F.map_keys(sv)
+                kept = F.map_filter(
+                    dv, lambda k, _: ~F.array_contains(src_keys, k))
                 df = set_field(df, dest, F.map_concat(
-                    field_col(dest), field_col(src)))
+                    kept, sv.try_cast(dt.simpleString())))
             else:
-                df = set_field(df, dest, F.concat(
-                    field_col(dest), field_col(src)))
+                # Array(dest).concat(Array(src)): wrap scalar sides into
+                # one-element arrays; F.concat then appends. Catalyst's
+                # array type coercion picks the common element type (a
+                # genuinely incompatible pair fails analysis LOUDLY,
+                # the typed-column equivalent of Ruby's anything-goes).
+                left = dv if ds.startswith("array") else F.array(dv)
+                right = sv if ss.startswith("array") else F.array(sv)
+                df = set_field(df, dest, F.concat(left, right))
         return df
 
     def _op_copy(self, df, arg: dict):

@@ -625,6 +625,54 @@ def test_coerce_list_index_rejected(spark):
         apply_stage(df, {"mutate": {"coerce": {"[a][0]": "d"}}})
 
 
+def test_merge_map_into_map_src_wins_on_dup_keys(spark):
+    """Hash#update: overlapping keys take the SOURCE value. Plain
+    map_concat would throw under the default mapKeyDedupPolicy=
+    EXCEPTION (review finding) — the lowering must drop overlapped
+    dest keys first."""
+    df = spark.createDataFrame(
+        [({"a": "1", "keep": "d"}, {"a": "2", "new": "s"})],
+        "d map<string,string>, s map<string,string>")
+    out = apply_stage(df, {"mutate": {"merge": {"d": "s"}}})
+    assert out.collect()[0]["d"] == {"a": "2", "keep": "d", "new": "s"}
+
+
+def test_merge_scalar_into_scalar_makes_two_element_array(spark):
+    """mutate.rb: Array(dest).concat(Array(src)) — two scalars become
+    a two-element array, NOT a string concatenation."""
+    df = spark.createDataFrame([("x", "y")], "d string, s string")
+    out = apply_stage(df, {"mutate": {"merge": {"d": "s"}}})
+    assert out.collect()[0]["d"] == ["x", "y"]
+
+
+def test_merge_scalar_and_array_wrap_sides(spark):
+    df = spark.createDataFrame(
+        [(["x"], "y", "z")], "arr array<string>, sc string, sc2 string")
+    out = apply_stage(df, {"mutate": {"merge": {"arr": "sc"}}})
+    assert out.collect()[0]["arr"] == ["x", "y"]  # array <= scalar
+    out2 = apply_stage(df, {"mutate": {"merge": {"sc2": "arr"}}})
+    assert out2.collect()[0]["sc2"] == ["z", "x"]  # scalar <= array
+
+
+def test_merge_hash_xor_guard_is_noop_with_warning(spark):
+    """Reference XOR guard: hash <=> non-hash merge logs an error and
+    leaves the event unchanged — never a Spark analysis error."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [({"k": "v"}, "s", ["a"])],
+        "m map<string,string>, sc string, arr array<string>")
+    for dest, src in (("m", "sc"), ("sc", "m"), ("arr", "m"),
+                      ("missing", "m")):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = apply_stage(df, {"mutate": {"merge": {dest: src}}})
+        assert any("XOR" in str(x.message) for x in w)
+        row = out.collect()[0]
+        assert row["m"] == {"k": "v"} and row["sc"] == "s"
+        assert row["arr"] == ["a"] and "missing" not in out.columns
+
+
 def test_metadata_map_key_upsert_preserves_siblings(spark):
     """[@metadata][k] writes must upsert ONE map key — clobbering the
     map with a struct would destroy every other entry and break later
