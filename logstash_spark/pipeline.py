@@ -288,12 +288,22 @@ def _align_to(col, old_t, new_t):
                 parts.append(F.lit(None).cast(f.dataType).alias(f.name))
         return F.when(col.isNull(), F.lit(None).cast(new_t)).otherwise(
             F.struct(*parts))
-    if isinstance(new_t, StructType):
-        # scalar → struct has no cast (try_cast fails ANALYSIS, not
-        # runtime): a conditional stage retyped a scalar column into a
-        # struct, and unmatched rows cannot keep their scalar value in
-        # the struct-typed column. Refuse loudly — silent null-out
-        # would corrupt every unmatched row.
+    from pyspark.sql.types import ArrayType, MapType
+
+    def _category(t):
+        for cls in (StructType, ArrayType, MapType):
+            if isinstance(t, cls):
+                return cls
+        return "scalar"
+
+    if _category(old_t) != _category(new_t) and (
+            _category(old_t) != "scalar" or _category(new_t) != "scalar"):
+        # CROSS-category retype (scalar↔struct/array/map, array↔map…)
+        # has no value-preserving cast: a conditional stage (e.g.
+        # `if [x] { mutate { split ... } }`) retyped the column, and
+        # unmatched rows cannot keep their original value in the new
+        # type. try_cast would fail ANALYSIS (opaque DATA_DIFF_TYPES)
+        # or silently null/stringify — refuse loudly instead.
         raise ValueError(
             f"conditional stage retypes a column from "
             f"{old_t.simpleString()} to {new_t.simpleString()}; "
@@ -343,9 +353,12 @@ def _conditional_merge(df: DataFrame, stage, cond, targets: list[str]) -> DataFr
                 new_t = out.schema[c].dataType
                 old_t = pre.schema[backups[c]].dataType
                 ob = F.col(backups[c])
+                from pyspark.sql.types import ArrayType, MapType
+
+                _complex = (StructType, ArrayType, MapType)
                 if old_t != new_t and (
-                    isinstance(old_t, StructType)
-                    or isinstance(new_t, StructType)
+                    isinstance(old_t, _complex)
+                    or isinstance(new_t, _complex)
                 ):
                     # scalar mismatches (convert double→long) are left
                     # to Spark's own CASE coercion — same as a branch

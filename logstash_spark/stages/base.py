@@ -122,16 +122,31 @@ def _existing_nonstruct_intermediate(dtype, path: list[str]) -> str | None:
     return None
 
 
-def _map_set_key(col: Column, dtype, key: str, val: Column) -> Column:
+def _map_drop_key(col: Column, key: str) -> Column:
+    """Remove ``key`` from a map column (per-key absence — the one
+    thing maps can express that structs cannot)."""
+    return F.map_filter(col, lambda k, _: k != F.lit(key))
+
+
+def _map_set_key(
+    col: Column, dtype, key: str, val: Column,
+    only_if_present: bool = False,
+) -> Column:
     """Upsert ``key`` in a map column (last-wins without depending on
     spark.sql.mapKeyDedupPolicy): filter the key out, concat the new
     entry. A null map becomes a one-entry map (Event#setField vivifies
-    @metadata on first write)."""
+    @metadata on first write). ``only_if_present`` keeps rows whose map
+    does NOT already contain ``key`` untouched — the ``Event#include?``
+    per-row gate of update/gsub/case ops, which must not fabricate a
+    ``key -> null`` entry for rows the reference would skip."""
     base = F.coalesce(col, F.create_map().cast(dtype.simpleString()))
-    kept = F.map_filter(base, lambda k, _: k != F.lit(key))
     entry = F.create_map(
         F.lit(key).cast(dtype.keyType), val.try_cast(dtype.valueType))
-    return F.map_concat(kept, entry)
+    upserted = F.map_concat(_map_drop_key(base, key), entry)
+    if only_if_present:
+        return F.when(
+            F.map_contains_key(col, F.lit(key)), upserted).otherwise(col)
+    return upserted
 
 
 def _drop_field_path(df: DataFrame, parts: list[str]) -> DataFrame:
@@ -146,9 +161,8 @@ def _drop_field_path(df: DataFrame, parts: list[str]) -> DataFrame:
 
     top_t = df.schema[parts[0]].dataType
     if isinstance(top_t, MapType) and len(parts) == 2:
-        key = parts[1]
-        return df.withColumn(parts[0], F.map_filter(
-            F.col(parts[0]), lambda k, _: k != F.lit(key)))
+        return df.withColumn(
+            parts[0], _map_drop_key(F.col(parts[0]), parts[1]))
     sizes = []
     cur = top_t
     for p in parts[1:]:
@@ -170,14 +184,23 @@ def _drop_field_path(df: DataFrame, parts: list[str]) -> DataFrame:
     return df.withColumn(parts[0], F.col(parts[0]).dropFields(dotted))
 
 
-def set_field(df: DataFrame, ref: str, val: Column) -> DataFrame:
+def set_field(
+    df: DataFrame, ref: str, val: Column,
+    only_if_present: bool = False,
+) -> DataFrame:
     """Write ``val`` at field reference ``ref`` — the plan-time
     equivalent of the reference's ``Event#setField``. Top-level ref →
     ``withColumn``; nested ref → set ONE key inside the struct
     (siblings survive), auto-vivifying missing intermediate structs
     and — like Ruby — overwriting a non-hash top/intermediate with a
     hash. List-index writes (digit path segments) are rejected loudly:
-    a typed column cannot grow a per-row list slot."""
+    a typed column cannot grow a per-row list slot.
+
+    ``only_if_present`` (map-key targets only): skip rows whose map
+    lacks the key — the per-row half of the ``Event#include?`` gate
+    that ops like update/gsub apply schema-statically via
+    ``field_exists``. Struct/top-level targets ignore the flag (their
+    existence IS schema-static, already gated by the caller)."""
     from ..fieldref import _canonical, parse_ref
 
     from pyspark.sql.types import MapType
@@ -202,7 +225,8 @@ def set_field(df: DataFrame, ref: str, val: Column) -> DataFrame:
                     f"{top_t.valueType.simpleString()} values — only "
                     "single-level key writes are supported")
             return df.withColumn(name, _map_set_key(
-                F.col(name), top_t, parts[1], val))
+                F.col(name), top_t, parts[1], val,
+                only_if_present=only_if_present))
         if dict(df.dtypes)[name].startswith("struct"):
             return df.withColumn(name, _set_struct_path(
                 F.col(name), top_t, parts[1:], val))
@@ -410,9 +434,7 @@ class Stage:
 
                 top_t = out.schema[name].dataType
                 if isinstance(top_t, MapType) and len(parts) == 2:
-                    key = parts[1]
-                    filtered = F.map_filter(
-                        F.col(name), lambda k, _: k != F.lit(key))
+                    filtered = _map_drop_key(F.col(name), parts[1])
                     out = out.withColumn(
                         name, filtered if matched is None else
                         F.when(cond, filtered).otherwise(F.col(name)))

@@ -102,8 +102,13 @@ class MutateStage(Stage):
                 # which op it appears in)
                 raise ValueError(
                     f"coerce into a list index is not supported: {ref!r}")
+            # map keys: per-row Event#include? — only a PRESENT key
+            # with a null value takes the default; an absent key must
+            # not be fabricated (only_if_present), matching mutate.rb's
+            # `include?(field) && get(field).nil?`
             df = set_field(df, ref, F.coalesce(
-                field_col(ref), F.lit(default).cast(dt)))
+                field_col(ref), F.lit(default).cast(dt)),
+                only_if_present=True)
         return df
 
     def _op_rename(self, df, arg: dict):
@@ -138,12 +143,25 @@ class MutateStage(Stage):
 
     def _op_update(self, df, arg: dict):
         # update only if field exists (reference: skip otherwise)
+        from pyspark.sql.types import MapType
+
         for ref, template in arg.items():
             if not field_exists(df, ref):
                 continue
             cur = field_col(ref)
-            df = set_field(df, ref, F.when(
-                cur.isNotNull(), sprintf_col(template)).otherwise(cur))
+            parts = _canonical(parse_ref(ref))
+            if len(parts) == 2 and isinstance(
+                    df.schema[parts[0]].dataType, MapType):
+                # map keys have REAL per-row presence: Event#include?
+                # is true for a present-but-nil key, so update SETS it
+                # (only_if_present supplies the include? gate); the
+                # isNotNull wrapper below is only the struct/top-column
+                # proxy where null encodes absence
+                val = sprintf_col(template)
+            else:
+                val = F.when(
+                    cur.isNotNull(), sprintf_col(template)).otherwise(cur)
+            df = set_field(df, ref, val, only_if_present=True)
         return df
 
     def _op_replace(self, df, arg: dict):
@@ -169,7 +187,7 @@ class MutateStage(Stage):
                 # try_cast: a dirty value yields null (mutate.rb logs and
                 # keeps flowing) instead of throwing under ANSI sessions
                 col = col.try_cast(spark_t)
-            df = set_field(df, ref, col)
+            df = set_field(df, ref, col, only_if_present=True)
         return df
 
     @staticmethod
@@ -224,13 +242,15 @@ class MutateStage(Stage):
             if not field_exists(df, ref):
                 continue  # mutate.rb: nil field → skip
             df = set_field(df, ref, F.regexp_replace(
-                field_col(ref), pat, self._ruby_repl_to_java(repl)))
+                field_col(ref), pat, self._ruby_repl_to_java(repl)),
+                only_if_present=True)
         return df
 
     def _op_uppercase(self, df, refs: list):
         for ref in refs:
             if field_exists(df, ref):
-                df = set_field(df, ref, F.upper(field_col(ref)))
+                df = set_field(df, ref, F.upper(field_col(ref)),
+                               only_if_present=True)
         return df
 
     def _op_capitalize(self, df, refs: list):
@@ -240,19 +260,22 @@ class MutateStage(Stage):
             cur = field_col(ref)
             df = set_field(df, ref, F.concat(
                 F.upper(cur.substr(1, 1)),
-                F.lower(cur.substr(F.lit(2), F.length(cur)))))
+                F.lower(cur.substr(F.lit(2), F.length(cur)))),
+                only_if_present=True)
         return df
 
     def _op_lowercase(self, df, refs: list):
         for ref in refs:
             if field_exists(df, ref):
-                df = set_field(df, ref, F.lower(field_col(ref)))
+                df = set_field(df, ref, F.lower(field_col(ref)),
+                               only_if_present=True)
         return df
 
     def _op_strip(self, df, refs: list):
         for ref in refs:
             if field_exists(df, ref):
-                df = set_field(df, ref, F.trim(field_col(ref)))
+                df = set_field(df, ref, F.trim(field_col(ref)),
+                               only_if_present=True)
         return df
 
     def _op_split(self, df, arg: dict):
@@ -261,73 +284,138 @@ class MutateStage(Stage):
 
             if field_exists(df, ref):
                 df = set_field(df, ref, F.split(
-                    field_col(ref), _re.escape(sep)))
+                    field_col(ref), _re.escape(sep)),
+                    only_if_present=True)
         return df
 
     def _op_join(self, df, arg: dict):
         for ref, sep in arg.items():
             if field_exists(df, ref):
-                df = set_field(df, ref, F.array_join(field_col(ref), sep))
+                df = set_field(df, ref, F.array_join(field_col(ref), sep),
+                               only_if_present=True)
         return df
 
+    @staticmethod
+    def _merge_array_side(col, dt) -> Column:
+        """``Array(value)`` per mutate.rb: nil → [], array → itself,
+        scalar → one-element array. ``array_compact`` turns a wrapped
+        per-row-null scalar into [] so the concat never nulls out."""
+        from pyspark.sql.types import ArrayType
+
+        if isinstance(dt, ArrayType):
+            return F.coalesce(col, F.array().cast(dt.simpleString()))
+        return F.array_compact(F.array(col))
+
     def _op_merge(self, df, arg: dict):
-        # mutate.rb merge (mutate.rb `merge` method):
-        #   dest.is_a?(Hash) ^ src.is_a?(Hash)  → error log, event unchanged
-        #   dest.is_a?(Hash)                    → dest.update(src) (src wins)
-        #   else → Array(dest).concat(Array(src))  [Array(nil)=[], Array(x)=[x]]
-        # Types are schema-static here, so the per-event Hash-XOR error
-        # becomes a plan-time warning + no-op (same effect on the data).
+        # mutate.rb merge (mutate.rb `merge` method), per event:
+        #   Hash?(dest) ^ Hash?(src)  → error log, event unchanged
+        #   Hash?(dest)               → dest.update(src) (src wins)
+        #   else → Array(dest).concat(Array(src))  [Array(nil)=[]]
+        # Hash ≙ map- OR struct-typed here (this engine's nested hashes
+        # are predominantly structs). The XOR error is schema-static
+        # when the TYPES mismatch → plan-time warning + no-op; per-row
+        # nil on either side of a non-hash merge wraps to [] via
+        # array_compact so a null never erases the other side (the
+        # round-5 review's data-loss finding). Documented deviation: a
+        # per-row-null value in a HASH-typed column stays unchanged
+        # (Ruby would produce an array there, which a typed map/struct
+        # column cannot also hold).
         import warnings
 
+        from pyspark.sql.types import MapType, StructType
+
+        def _hashy(dt) -> bool:
+            return isinstance(dt, (MapType, StructType))
+
         for dest, src in arg.items():
-            if not field_exists(df, src):
-                continue  # mutate.rb: nil source → no-op
-            st = _leaf_dtype(df, src)
-            ss = st.simpleString() if st is not None else ""
-            src_is_map = ss.startswith("map")
-            sv = field_col(src)
-            if not field_exists(df, dest):
-                # nil dest: Array(nil).concat(Array(src)) — but a Hash
-                # src trips the XOR guard first (nil is not a Hash)
-                if src_is_map:
-                    warnings.warn(
-                        f"mutate merge {dest!r} <= {src!r}: cannot merge "
-                        "a hash into a missing (nil) destination "
-                        "(reference XOR guard) — no-op")
-                    continue
-                df = set_field(
-                    df, dest, sv if ss.startswith("array") else F.array(sv))
+            src_exists = field_exists(df, src)
+            dest_exists = field_exists(df, dest)
+            st = _leaf_dtype(df, src) if src_exists else None
+            dt = _leaf_dtype(df, dest) if dest_exists else None
+            sv = field_col(src) if src_exists else None
+            dv = field_col(dest) if dest_exists else None
+            if not src_exists and not dest_exists:
+                # Array(nil).concat(Array(nil)) = [] — event.set(dest, [])
+                df = set_field(df, dest, F.array().cast("array<string>"))
                 continue
-            dt = _leaf_dtype(df, dest)
-            ds = dt.simpleString() if dt is not None else ""
-            dest_is_map = ds.startswith("map")
-            if dest_is_map != src_is_map:
+            if (_hashy(dt) and not (src_exists and _hashy(st))) or (
+                    _hashy(st) and not (dest_exists and _hashy(dt))):
                 warnings.warn(
                     f"mutate merge {dest!r} <= {src!r}: cannot merge "
-                    f"{ss or 'value'} into {ds or 'value'} (reference "
+                    f"{st.simpleString() if st else 'nil'} into "
+                    f"{dt.simpleString() if dt else 'nil'} (reference "
                     "Hash-XOR guard) — no-op")
                 continue
-            dv = field_col(dest)
-            if dest_is_map:
-                # Hash#update: src wins on key overlap. map_concat alone
-                # THROWS on duplicate keys under the default
-                # mapKeyDedupPolicy=EXCEPTION — drop overlapped dest
-                # keys first, exactly like _map_set_key does.
+            if not src_exists:
+                # nil src, non-hash dest: Array(dest).concat([]) — a
+                # scalar dest becomes a one-element array, null → []
+                df = set_field(df, dest, self._merge_array_side(dv, dt))
+                continue
+            if not dest_exists:
+                # nil dest, non-hash src: Array(nil).concat(Array(src))
+                df = set_field(df, dest, self._merge_array_side(sv, st))
+                continue
+            if _hashy(dt):
+                df = set_field(
+                    df, dest, self._merge_hash(dv, dt, sv, st, dest, src))
+            else:
+                # Catalyst's array type coercion picks the common
+                # element type; a genuinely incompatible pair fails
+                # analysis LOUDLY (the typed-column equivalent of
+                # Ruby's anything-goes arrays)
+                df = set_field(df, dest, F.concat(
+                    self._merge_array_side(dv, dt),
+                    self._merge_array_side(sv, st)))
+        return df
+
+    @staticmethod
+    def _merge_hash(dv, dt, sv, st, dest: str, src: str) -> Column:
+        """``dest.update(src)`` (Hash#update: src wins on key overlap)
+        lowered per type pair. Per-row nil src → XOR → dest unchanged;
+        per-row nil dest → XOR → stays null (map_concat/struct of null
+        propagates)."""
+        from pyspark.sql.types import MapType, StructType
+
+        if isinstance(dt, MapType):
+            if isinstance(st, MapType):
                 src_keys = F.map_keys(sv)
                 kept = F.map_filter(
                     dv, lambda k, _: ~F.array_contains(src_keys, k))
-                df = set_field(df, dest, F.map_concat(
-                    kept, sv.try_cast(dt.simpleString())))
-            else:
-                # Array(dest).concat(Array(src)): wrap scalar sides into
-                # one-element arrays; F.concat then appends. Catalyst's
-                # array type coercion picks the common element type (a
-                # genuinely incompatible pair fails analysis LOUDLY,
-                # the typed-column equivalent of Ruby's anything-goes).
-                left = dv if ds.startswith("array") else F.array(dv)
-                right = sv if ss.startswith("array") else F.array(sv)
-                df = set_field(df, dest, F.concat(left, right))
-        return df
+                # map_concat alone THROWS on duplicate keys under the
+                # default mapKeyDedupPolicy=EXCEPTION — filter first
+                merged = F.map_concat(kept, sv.try_cast(dt.simpleString()))
+            else:  # struct src → static keys become map entries
+                names = [f.name for f in st.fields]
+                entries = [x for n in names for x in (
+                    F.lit(n).cast(dt.keyType),
+                    sv[n].try_cast(dt.valueType))]
+                kept = F.map_filter(dv, lambda k, _: ~k.isin(*names))
+                merged = F.map_concat(kept, F.create_map(*entries))
+            return F.when(sv.isNull(), dv).otherwise(merged)
+        # struct dest
+        if isinstance(st, MapType):
+            raise ValueError(
+                f"mutate merge {dest!r} <= {src!r}: cannot merge a map "
+                "(per-row dynamic keys) into a struct-typed destination "
+                "— a typed struct cannot grow per-row keys; make the "
+                "destination a map or merge the other direction")
+        dest_only = [f for f in dt.fields
+                     if f.name not in {g.name for g in st.fields}]
+        # union shape, src wins: dest-only fields keep their values,
+        # every src field comes from src (overlapping names take the
+        # src VALUE and, typed-column necessity, the src TYPE)
+        merged = F.struct(
+            *[dv[f.name].alias(f.name) for f in dest_only],
+            *[sv[g.name].alias(g.name) for g in st.fields])
+        dest_names = {f.name for f in dt.fields}
+        aligned = F.struct(
+            *[dv[f.name].alias(f.name) for f in dest_only],
+            *[(dv[g.name].try_cast(g.dataType) if g.name in dest_names
+               else F.lit(None).cast(g.dataType)).alias(g.name)
+              for g in st.fields])
+        union_t = StructType(list(dest_only) + list(st.fields))
+        return (F.when(dv.isNull(), F.lit(None).cast(union_t))
+                .when(sv.isNull(), aligned).otherwise(merged))
 
     def _op_copy(self, df, arg: dict):
         for src, dest in arg.items():

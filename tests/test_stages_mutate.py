@@ -656,21 +656,131 @@ def test_merge_scalar_and_array_wrap_sides(spark):
 
 def test_merge_hash_xor_guard_is_noop_with_warning(spark):
     """Reference XOR guard: hash <=> non-hash merge logs an error and
-    leaves the event unchanged — never a Spark analysis error."""
+    leaves the event unchanged — never a Spark analysis error. Struct-
+    typed hashes count as Hash too (review finding: they bypassed the
+    guard and retyped into array<struct>)."""
     import warnings
 
     df = spark.createDataFrame(
-        [({"k": "v"}, "s", ["a"])],
-        "m map<string,string>, sc string, arr array<string>")
+        [({"k": "v"}, "s", ["a"], ("x",))],
+        "m map<string,string>, sc string, arr array<string>, "
+        "st struct<f:string>")
     for dest, src in (("m", "sc"), ("sc", "m"), ("arr", "m"),
-                      ("missing", "m")):
+                      ("missing", "m"), ("st", "sc"), ("sc", "st"),
+                      ("st", "missing2"), ("m", "missing2")):
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             out = apply_stage(df, {"mutate": {"merge": {dest: src}}})
-        assert any("XOR" in str(x.message) for x in w)
+        assert any("XOR" in str(x.message) for x in w), (dest, src)
         row = out.collect()[0]
         assert row["m"] == {"k": "v"} and row["sc"] == "s"
-        assert row["arr"] == ["a"] and "missing" not in out.columns
+        assert row["arr"] == ["a"] and row["st"]["f"] == "x"
+        assert "missing" not in out.columns
+
+
+def test_merge_struct_into_struct_hash_update(spark):
+    """Hash#update for struct-typed hashes: field union, src wins on
+    overlapping names; a per-row NULL src leaves the dest values
+    untouched (XOR per row)."""
+    df = spark.createDataFrame(
+        [(1, ("d1", "old"), ("new", "s2")), (2, ("d1", "old"), None)],
+        "id int, d struct<a:string,b:string>, s struct<b:string,c:string>")
+    out = apply_stage(df, {"mutate": {"merge": {"d": "s"}}})
+    rows = {r["id"]: r["d"] for r in out.collect()}
+    assert rows[1].asDict() == {"a": "d1", "b": "new", "c": "s2"}
+    assert rows[2].asDict() == {"a": "d1", "b": "old", "c": None}
+
+
+def test_merge_struct_source_into_map_dest(spark):
+    """Hash#update across this engine's two hash encodings: struct
+    fields become map entries, src wins on key overlap."""
+    df = spark.createDataFrame(
+        [({"a": "1", "keep": "d"}, ("2", "s"))],
+        "d map<string,string>, s struct<a:string,n:string>")
+    out = apply_stage(df, {"mutate": {"merge": {"d": "s"}}})
+    assert out.collect()[0]["d"] == {"a": "2", "keep": "d", "n": "s"}
+
+
+def test_merge_map_into_struct_dest_rejected(spark):
+    """Per-row dynamic map keys cannot grow a typed struct — loud
+    ValueError, not silent corruption."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(("x",), {"k": "v"})],
+        "d struct<f:string>, s map<string,string>")
+    with _pytest.raises(ValueError, match="dynamic keys"):
+        apply_stage(df, {"mutate": {"merge": {"d": "s"}}})
+
+
+def test_merge_null_rows_never_erase_the_other_side(spark):
+    """Review finding: a per-row NULL source nulled the whole dest.
+    Array(nil) = [] — null sides wrap to empty, data survives."""
+    df = spark.createDataFrame(
+        [(1, {"keep": "me"}, None, ["keep2"], None, "sc", None),
+         (2, {"k": "v"}, {"k2": "v2"}, ["a"], ["b"], None, "z")],
+        "id int, dm map<string,string>, sm map<string,string>, "
+        "da array<string>, sa array<string>, dsc string, ssc string")
+    out = apply_stage(df, {"mutate": {"merge": {
+        "dm": "sm", "da": "sa", "dsc": "ssc"}}})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["dm"] == {"keep": "me"}   # null map src → unchanged
+    assert rows[1]["da"] == ["keep2"]        # null array src → concat []
+    assert rows[1]["dsc"] == ["sc"]          # null scalar src → [dest]
+    assert rows[2]["dm"] == {"k": "v", "k2": "v2"}
+    assert rows[2]["da"] == ["a", "b"]
+    assert rows[2]["dsc"] == ["z"]           # null scalar dest → [src]
+
+
+def test_merge_missing_source_wraps_scalar_dest(spark):
+    """mutate.rb: Array(dest).concat(Array(nil)) — a scalar dest
+    becomes a one-element array even when the source is missing; two
+    missing fields create an empty array."""
+    df = spark.createDataFrame([("x",)], "d string")
+    out = apply_stage(df, {"mutate": {"merge": {"d": "nope"}}})
+    assert out.collect()[0]["d"] == ["x"]
+    out2 = apply_stage(df, {"mutate": {"merge": {"both": "nope"}}})
+    assert out2.collect()[0]["both"] == []
+
+
+def test_map_key_ops_respect_per_row_presence(spark):
+    """Review finding: Event#include? is per-row for map keys — update/
+    coerce/gsub must not fabricate entries on rows lacking the key."""
+    df = spark.createDataFrame(
+        [(1, {"k": "hello"}), (2, {"other": "z"}), (3, {"k": None})],
+        "id int, _meta map<string,string>")
+    up = {r["id"]: r["_meta"] for r in apply_stage(
+        df, {"mutate": {"update": {"[@metadata][k]": "NEW"}}}).collect()}
+    assert up[1] == {"k": "NEW"}
+    assert up[2] == {"other": "z"}          # no fabricated k -> null
+    assert up[3] == {"k": "NEW"}            # include? true for present-nil
+    co = {r["id"]: r["_meta"] for r in apply_stage(
+        df, {"mutate": {"coerce": {"[@metadata][k]": "DEF"}}}).collect()}
+    assert co[1] == {"k": "hello"}
+    assert co[2] == {"other": "z"}          # absent key: no default
+    assert co[3] == {"k": "DEF"}            # present + nil → default
+    gs = {r["id"]: r["_meta"] for r in apply_stage(
+        df, {"mutate": {"gsub": ["[@metadata][k]", "l+", "L"]}}).collect()}
+    assert gs[1] == {"k": "heLo"}
+    assert gs[2] == {"other": "z"}          # no fabricated k -> null
+
+
+def test_conditional_scalar_to_array_retype_rejected(spark):
+    """The loud conditional-retype refusal covers array/map targets
+    too, not just structs (review finding: split under `when` died
+    with an opaque DATA_DIFF_TYPES analysis error)."""
+    import pytest as _pytest
+    from logstash_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "en", "a,b")], "id int, lang string, f string")
+    pipe = Pipeline({
+        "id": "t", "filters": [
+            {"when": "[lang] == 'en'",
+             "mutate": {"split": {"f": ","}}}],
+    })
+    with _pytest.raises(ValueError, match="retypes"):
+        pipe.compile(df).collect()
 
 
 def test_metadata_map_key_upsert_preserves_siblings(spark):
