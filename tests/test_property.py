@@ -179,3 +179,64 @@ def test_truncate_utf8_prefix_property(spark, texts, n):
                 cut -= 1
             expected = b[:cut].decode("utf-8")
         assert out[i] == expected, (t, n, out[i], expected)
+
+
+_opt_str = st.one_of(st.none(), st.text(
+    alphabet=string.ascii_lowercase, min_size=0, max_size=4))
+_opt_map = st.one_of(st.none(), st.dictionaries(
+    st.sampled_from(["k1", "k2", "k3"]), _opt_str, max_size=3))
+_opt_arr = st.one_of(st.none(), st.lists(_opt_str, max_size=3))
+
+
+@given(st.lists(
+    st.tuples(_opt_map, _opt_map, _opt_arr, _opt_arr, _opt_str, _opt_str,
+              st.one_of(st.none(), st.tuples(_opt_str, _opt_str)),
+              st.one_of(st.none(), st.tuples(_opt_str, _opt_str))),
+    min_size=1, max_size=12,
+))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_differential_vs_ruby_model(spark, rows):
+    """mutate merge vs a pure-Python model of mutate.rb's semantics
+    (Hash-XOR guard / Hash#update src-wins / Array() wrapping with
+    Array(nil)=[]), per row, across the three same-category type pairs
+    plus the struct-union case. The documented typed-schema deviation
+    (per-row-null hash values stay null) is encoded in the model."""
+    from pyspark.sql.types import Row
+
+    from logstash_spark.stages.base import apply_stage
+
+    data = [(i, dm, sm, da, sa, dsc, ssc,
+             None if dpair is None else Row(a=dpair[0], b=dpair[1]),
+             None if spair is None else Row(b=spair[0], c=spair[1]))
+            for i, (dm, sm, da, sa, dsc, ssc, dpair, spair)
+            in enumerate(rows)]
+    df = spark.createDataFrame(
+        data,
+        "id int, dm map<string,string>, sm map<string,string>, "
+        "da array<string>, sa array<string>, dsc string, ssc string, "
+        "dst struct<a:string,b:string>, sst struct<b:string,c:string>")
+    out = {r["id"]: r for r in apply_stage(df, {"mutate": {"merge": {
+        "dm": "sm", "da": "sa", "dsc": "ssc", "dst": "sst"}}}).collect()}
+    for i, dm, sm, da, sa, dsc, ssc, dst, sst in data:
+        r = out[i]
+        # map (+) map: Hash#update src-wins; nil src -> XOR -> unchanged
+        exp_m = dm if sm is None else (
+            None if dm is None else {**dm, **sm})
+        assert r["dm"] == exp_m, (i, dm, sm, r["dm"])
+        # array (+) array: Array(nil)=[] wrapping
+        assert r["da"] == (da or []) + (sa or []), (i, da, sa)
+        # scalar (+) scalar: two-element array modulo nil wrapping
+        exp_s = ([dsc] if dsc is not None else []) + (
+            [ssc] if ssc is not None else [])
+        assert r["dsc"] == exp_s, (i, dsc, ssc)
+        # struct (+) struct: field union, src wins on b; nil src keeps
+        # dest values in union shape; nil dest stays null
+        if dst is None:
+            assert r["dst"] is None
+        elif sst is None:
+            assert r["dst"].asDict() == {
+                "a": dst.a, "b": dst.b, "c": None}
+        else:
+            assert r["dst"].asDict() == {
+                "a": dst.a, "b": sst.b, "c": sst.c}
