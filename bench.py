@@ -154,6 +154,27 @@ def bench_decontaminate(spark):
     return dict(row.asDict())
 
 
+def bench_pii_scrub(spark, pages_path):
+    """Dolma-style PII scrub (email/ipv4/phone masks + counts) over the
+    staged pages corpus text — a pure JVM regexp map stage; the agg
+    forces both the counts and the scrubbed bytes."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.datapipe import pii
+
+    pages = spark.read.parquet(pages_path).select("url", "text")
+    row = (
+        pii.scrub_pii(pages)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pii_total_count").alias("hits"),
+            F.sum(F.octet_length("text")).alias("out_bytes"),
+        )
+        .collect()[0]
+    )
+    return dict(row.asDict())
+
+
 def bench_unigram_logprob(spark):
     """Self-trained unigram-LM scoring over the sf documents table."""
     from pyspark.sql import functions as F
@@ -219,6 +240,7 @@ def main():
         ("dedup_span_stats", lambda: bench_span_stats(spark)),
         ("unigram_logprob", lambda: bench_unigram_logprob(spark)),
         ("decontaminate", lambda: bench_decontaminate(spark)),
+        ("pii_scrub", lambda: bench_pii_scrub(spark, pages_path)),
     ] + [
         (name, lambda f=suite.QUERIES[name]: f(spark, SF_DIR).collect())
         for name in suite_queries
