@@ -175,6 +175,26 @@ def bench_pii_scrub(spark, pages_path):
     return dict(row.asDict())
 
 
+def bench_line_dedup(spark):
+    """C4-style corpus-wide duplicate-line removal over the sf
+    documents table; the agg forces the rewrite and the audit counts."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.datapipe import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    row = (
+        dedup.dedup_lines(docs.select("doc_id", "text"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_removed").alias("removed"),
+            F.sum(F.octet_length("text")).alias("out_bytes"),
+        )
+        .collect()[0]
+    )
+    return dict(row.asDict())
+
+
 def bench_unigram_logprob(spark):
     """Self-trained unigram-LM scoring over the sf documents table."""
     from pyspark.sql import functions as F
@@ -241,6 +261,7 @@ def main():
         ("unigram_logprob", lambda: bench_unigram_logprob(spark)),
         ("decontaminate", lambda: bench_decontaminate(spark)),
         ("pii_scrub", lambda: bench_pii_scrub(spark, pages_path)),
+        ("dedup_lines", lambda: bench_line_dedup(spark)),
     ] + [
         (name, lambda f=suite.QUERIES[name]: f(spark, SF_DIR).collect())
         for name in suite_queries

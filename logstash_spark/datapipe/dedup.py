@@ -877,3 +877,91 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide duplicate-LINE removal (C4 §2.1 / RefinedWeb-style): any line
+# occurring more than once in the corpus keeps exactly ONE occurrence — the
+# first in deterministic (doc, position) order — and every other copy is cut
+# out of its document. Differs from duplicated_span_stats, which only
+# ACCOUNTS for repeated spans; this op rewrites the text.
+#
+# Scale shape (10^12 docs): the first-occurrence pick is a groupBy(line
+# hash).agg(min(struct(doc,pos))) — partial aggregation combines map-side,
+# so a boilerplate line repeated 10^9 times costs one partial per task, NOT
+# a single-partition window sort (the naive row_number-over-line plan
+# stragglers exactly there). The join back is hash-partitioned on the line
+# key with AQE skew splitting; reassembly shuffles once on doc_id (rows =
+# kept lines, linear). Lines shorter than min_chars never enter the
+# key-space at all — C4 dedups substantial lines only, and the short/blank
+# ones are precisely the hottest keys.
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Remove corpus-wide duplicate lines, keeping the first occurrence
+    by ``(doc, position)`` order. Returns one row per input doc with
+    the rewritten ``text`` plus ``n_lines`` / ``n_removed`` audit
+    columns. Lines with fewer than ``min_chars`` characters are always
+    kept (and never considered duplicates of each other)."""
+    import re as _re
+
+    doc = F.col(id_col)
+    lines = df.select(
+        doc.alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("__pos", "__line"),
+    )
+    eligible = F.length("__line") >= min_chars
+    keyed = lines.withColumn("__h", F.xxhash64("__line"))
+    first = (
+        keyed.filter(eligible)
+        .groupBy("__h")
+        .agg(F.min(F.struct("__doc", "__pos")).alias("__first"))
+    )
+    kept = (
+        keyed.join(first, "__h", "left")
+        .filter(
+            ~eligible
+            | (
+                (F.col("__first.__doc") == F.col("__doc"))
+                & (F.col("__first.__pos") == F.col("__pos"))
+            )
+        )
+        .select("__doc", "__pos", "__line")
+    )
+    rebuilt = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    # null-text docs produce no exploded rows — the left join restores
+    # them with text null and zero counted lines, like the input
+    n_in = F.size(F.split(F.col(text_col), _re.escape(sep)))
+    return (
+        df.withColumn("__n_in", n_in)
+        .join(rebuilt, doc == F.col("__doc"), "left")
+        .withColumn(
+            text_col,
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                F.coalesce(F.col("__text"), F.lit(""))
+            ),
+        )
+        .withColumn("n_lines", F.coalesce(F.col("__n_in"), F.lit(0)))
+        .withColumn(
+            "n_removed",
+            F.coalesce(F.col("__n_in"), F.lit(0))
+            - F.coalesce(F.col("__kept"), F.lit(0)),
+        )
+        .drop("__doc", "__text", "__kept", "__n_in")
+    )

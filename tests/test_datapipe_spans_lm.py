@@ -298,3 +298,86 @@ def test_decontaminate_documents_table(spark):
     # NON-member (a planted duplicate) must be flagged too
     flagged = {d for d, (_, _, c) in got.items() if c}
     assert any(d % 17 != 0 for d in flagged)
+
+
+# ----------------------------------------------------------- dedup_lines
+def _ref_dedup_lines(rows, min_chars=1, sep="\n"):
+    """Greedy single pass in (doc, position) order — the definitional
+    form of 'keep the first occurrence corpus-wide'."""
+    seen: set = set()
+    out = {}
+    for doc_id, text in sorted(rows):
+        if text is None:
+            out[doc_id] = (None, 0, 0)
+            continue
+        lines = text.split(sep)
+        kept = []
+        removed = 0
+        for ln in lines:
+            if len(ln) < min_chars:
+                kept.append(ln)
+            elif ln in seen:
+                removed += 1
+            else:
+                seen.add(ln)
+                kept.append(ln)
+        out[doc_id] = (sep.join(kept), len(lines), removed)
+    return out
+
+
+def test_dedup_lines_hand_cases(spark):
+    rows = [
+        (1, "alpha line\nshared boilerplate\nunique one"),
+        (2, "shared boilerplate\nbeta line\n\nbeta line"),
+        (3, None),
+        (4, ""),
+        (5, "alpha line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.dedup_lines(df).collect()}
+    assert got[1]["text"] == rows[0][1] and got[1]["n_removed"] == 0
+    # doc 2 loses the cross-doc dup AND its own within-doc repeat;
+    # the empty line (< min_chars) survives both occurrences
+    assert got[2]["text"] == "beta line\n"
+    assert got[2]["n_lines"] == 4 and got[2]["n_removed"] == 2
+    assert got[3]["text"] is None and got[3]["n_lines"] == 0
+    assert got[4]["text"] == "" and got[4]["n_removed"] == 0
+    assert got[5]["text"] == "" and got[5]["n_removed"] == 1
+    assert got[5]["n_lines"] == 1
+
+
+def test_dedup_lines_matches_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    pool = [f"sentence number {i} with some words" for i in range(40)]
+    rows = []
+    for d in range(300):
+        n = rng.randint(0, 8)
+        lines = [rng.choice(pool) if rng.random() < 0.6
+                 else f"unique {d}-{j} {rng.randint(0, 9)}"
+                 for j in range(n)]
+        if rng.random() < 0.1:
+            lines.insert(rng.randrange(len(lines) + 1), "")
+        rows.append((d, "\n".join(lines) if lines else ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+           for r in dedup.dedup_lines(df).collect()}
+    want = _ref_dedup_lines(rows)
+    assert got == want
+
+
+def test_dedup_lines_hot_key_stays_aggregate(spark):
+    """1 000 docs sharing one boilerplate line: the first-occurrence
+    pick is a partial-aggregating groupBy (no per-key window sort) and
+    exactly one copy survives."""
+    rows = [(d, f"only doc {d} says this\nEVERY PAGE HAS THIS FOOTER")
+            for d in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.dedup_lines(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # min(struct) aggregate, not row_number
+    survivors = out.filter(
+        F.col("text").contains("FOOTER")).select("doc_id").collect()
+    assert [r["doc_id"] for r in survivors] == [0]
+    assert out.filter(F.col("n_removed") == 1).count() == 999
