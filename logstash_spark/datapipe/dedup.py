@@ -918,22 +918,28 @@ def dedup_lines(
         .alias("__pos", "__line"),
     )
     eligible = F.length("__line") >= min_chars
-    keyed = lines.withColumn("__h", F.xxhash64("__line"))
-    first = (
-        keyed.filter(eligible)
-        .groupBy("__h")
-        .agg(F.min(F.struct("__doc", "__pos")).alias("__first"))
-    )
+    # sub-min_chars lines never touch the keyed join — they are the
+    # hottest keys and need no dedup decision at all
+    inelig = lines.filter(~eligible)
+    keyed = lines.filter(eligible).withColumn("__h", F.xxhash64("__line"))
+    # carry the first occurrence's LINE so removal can demand content
+    # equality: a 64-bit collision then KEEPS the colliding line (a
+    # missed removal at ~2^-64 per pair) instead of silently deleting
+    # a unique line from a document (review finding). (doc,pos) is
+    # unique, so adding __line to the struct never changes the min.
+    first = keyed.groupBy("__h").agg(
+        F.min(F.struct("__doc", "__pos", "__line")).alias("__first"))
     kept = (
         keyed.join(first, "__h", "left")
         .filter(
-            ~eligible
-            | (
+            (
                 (F.col("__first.__doc") == F.col("__doc"))
                 & (F.col("__first.__pos") == F.col("__pos"))
             )
+            | (F.col("__first.__line") != F.col("__line"))
         )
         .select("__doc", "__pos", "__line")
+        .unionByName(inelig)
     )
     rebuilt = kept.groupBy("__doc").agg(
         F.array_join(

@@ -43,10 +43,13 @@ PII_PATTERNS: dict[str, str] = {
         r"(?:[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?\.)+"
         r"[A-Za-z]{2,}"
     ),
-    # exact octet range 0-255, word-bounded so 999.1.1.1 or version
-    # strings like 1.2.3.4.5 don't half-match... the trailing \b stops
-    # mid-string matches but a dotted 5-tuple still yields its prefix,
-    # matching what RE2 and Java both do (leftmost-first, no overlap)
+    # exact octet range 0-255, word-bounded so 999.1.1.1 never
+    # matches. KNOWN false-positive class (asserted in tests): a
+    # dotted run of >4 small numbers — a semver-ish '1.2.3.4.5' —
+    # yields a 4-octet sub-match ('\b' holds after a dot), because
+    # excluding it needs lookaround, which RE2 lacks; Dolma-class
+    # scrubbers share this behavior. Both engines agree on the match
+    # (leftmost-first, non-overlapping), so the oracle contract holds.
     "ipv4": (
         r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
         r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b"
@@ -115,7 +118,17 @@ def scrub_pii(
 ) -> DataFrame:
     """Redact PII in ``text_col`` (into ``out_col``, default in-place)
     and, with ``with_counts``, record per-kind match counts measured on
-    the pre-scrub text — the audit trail a corpus release wants."""
+    the pre-scrub text — the audit trail a corpus release wants.
+
+    Count semantics: ``pii_<kind>_count`` are DETECTOR counts on the
+    ORIGINAL text; the masks are the outcome of the sequential scrub.
+    At adjacency boundaries the two can differ in either direction
+    (asserted in tests): an earlier mask can create a word boundary
+    that lets a later pattern match text it did not match originally,
+    and an earlier pattern can consume characters a later detector
+    counted. Audits reconciling masks against counts must compare
+    per-kind counts to pre-scrub detections, not to sentinel
+    occurrences."""
     if with_counts:
         df = pii_stats(df, text_col, kinds)
     return df.withColumn(

