@@ -51,14 +51,25 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
     import os as _os
+
+    # --vanilla may appear anywhere in argv (equivalent to setting
+    # SPARK_GRAFT_SELFCHECK_VANILLA=1); without this, a flag-looking
+    # arg would silently become a query-name filter matching nothing
+    # and print a vacuous ALL MATCH over zero queries
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = ("--vanilla" in sys.argv[1:]
+               or bool(_os.environ.get("SPARK_GRAFT_SELFCHECK_VANILLA")))
+    unknown = [a for a in args if a.startswith("--")]
+    if unknown:
+        raise SystemExit(f"unknown flags {unknown}; usage: "
+                         "selfcheck.py [--vanilla] [sf_dir] [query ...]")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as se
 
-    if _os.environ.get("SPARK_GRAFT_SELFCHECK_VANILLA"):
+    if vanilla:
         # driver-parity mode: a plain session with NONE of the engine's
         # conf (the round-3 checkpoint_resume failure was a latent
         # session-conf dependency only a vanilla session exposes)
@@ -105,9 +116,11 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: {msg}")
 
+    executed = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        executed += 1
         t0 = time.monotonic()
         try:
             # pandas conversion on BOTH sides — mirrors the driver gate's
@@ -171,6 +184,10 @@ def main():
     if pinned:
         print(f"\n{len(pinned)} literal-pinned (expected off {LITERAL_PINNED_SF}): "
               f"{pinned}")
+    if executed == 0:
+        raise SystemExit(
+            f"no queries matched the filter {sorted(only)}; "
+            "ALL MATCH over zero queries would be vacuous")
     print(f"{len(failures)} failures: {failures}" if failures else "ALL MATCH")
     sys.exit(1 if failures else 0)
 
