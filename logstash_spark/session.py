@@ -127,14 +127,34 @@ def _ship_package(spark: SparkSession) -> None:
     every pandas-UDF closure that references package modules importable
     on workers regardless of driver cwd — required on a real cluster,
     and also when the driver script runs outside the repo root.
+
+    When the app WAS launched via ``spark-submit --py-files`` (the
+    north-rule form, ``scripts/submit_cluster.sh``), the package is
+    already on every worker — and re-adding a same-named zip whose
+    bytes differ (archive timestamps) makes addFile fail with
+    'exists and does not match'. Skip shipping in that case; a unique
+    content-derived name guards the remaining collision surface.
     """
+    import hashlib
     import shutil
     import tempfile
 
     import logstash_spark
 
+    submitted = spark.conf.get("spark.submit.pyFiles", "") or ""
+    if any(os.path.basename(p).startswith("logstash_spark")
+           for p in submitted.split(",") if p):
+        return
     pkg_dir = os.path.dirname(os.path.abspath(logstash_spark.__file__))
     root = os.path.dirname(pkg_dir)
-    base = os.path.join(tempfile.gettempdir(), "logstash_spark_pkg")
-    zip_path = shutil.make_archive(base, "zip", root_dir=root, base_dir="logstash_spark")
+    with tempfile.TemporaryDirectory() as tmp:
+        staged = shutil.make_archive(
+            os.path.join(tmp, "pkg"), "zip",
+            root_dir=root, base_dir="logstash_spark")
+        digest = hashlib.sha256(
+            open(staged, "rb").read()).hexdigest()[:16]
+        zip_path = os.path.join(
+            tempfile.gettempdir(), f"logstash_spark_pkg_{digest}.zip")
+        if not os.path.exists(zip_path):
+            shutil.move(staged, zip_path)
     spark.sparkContext.addPyFile(zip_path)

@@ -280,3 +280,39 @@ def test_iceberg_output_lowering():
     assert sink["format"] == "iceberg"
     assert sink["name"] == "lake_web_pages_en"
     assert sink["when"] == '[lang] == "en"'
+
+
+def test_ship_package_skips_under_spark_submit(monkeypatch, spark):
+    """Launched via spark-submit --py-files (scripts/submit_cluster.sh),
+    the package is already on the workers; re-adding a same-named,
+    byte-different zip used to abort the session with addFile
+    'exists and does not match' (round-5 submit smoke)."""
+    from logstash_spark import session as sess
+
+    calls = []
+    monkeypatch.setattr(
+        spark.sparkContext, "addPyFile", lambda p: calls.append(p))
+    real_get = spark.conf.get
+    monkeypatch.setattr(
+        spark.conf, "get",
+        lambda k, d=None: ("/tmp/x/logstash_spark_pkg.zip"
+                           if k == "spark.submit.pyFiles"
+                           else real_get(k, d)))
+    sess._ship_package(spark)
+    assert calls == []  # already shipped by --py-files
+
+
+def test_ship_package_name_is_content_derived(monkeypatch, spark):
+    """Self-shipped zips carry a content digest in the name, so two
+    differently-built archives can never collide on the worker."""
+    import re as _re
+
+    from logstash_spark import session as sess
+
+    calls = []
+    monkeypatch.setattr(
+        spark.sparkContext, "addPyFile", lambda p: calls.append(p))
+    sess._ship_package(spark)
+    sess._ship_package(spark)  # idempotent: same digest, same path
+    assert len(calls) == 2 and calls[0] == calls[1]
+    assert _re.search(r"logstash_spark_pkg_[0-9a-f]{16}\.zip$", calls[0])
