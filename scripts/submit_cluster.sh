@@ -7,6 +7,9 @@ set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 ZIP="/tmp/logstash_spark_pkg.zip"
 
+# fresh archive every build: zip -r into an existing file UPDATES it,
+# so a module deleted from the tree would linger in the shipped zip
+rm -f "$ZIP"
 cd "$REPO" && zip -qr "$ZIP" logstash_spark
 
 # Example: run an LSCL pipeline over an Iceberg/parquet pages table at
