@@ -35,7 +35,9 @@ import time
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    ArrayType, MapType, NullType, StructField, StructType,
+)
 from pyspark.storagelevel import StorageLevel
 
 from .checkpoint import CheckpointManifest
@@ -268,6 +270,30 @@ class Pipeline:
 _COND = "__when_cond"
 
 
+def _union_struct(old_t, new_t):
+    """Recursive field union of two struct types: new_t's fields first
+    (keeping NEW types on name overlap; nested structs union
+    recursively), then old-only fields appended. Non-struct pairs →
+    new_t. Lets a conditional merge keep values a stage's schema
+    change would otherwise silently drop (nested remove_field)."""
+    if not (isinstance(old_t, StructType) and isinstance(new_t, StructType)):
+        return new_t
+    old_by = {f.name: f for f in old_t.fields}
+    new_names = {f.name for f in new_t.fields}
+    fields = [
+        StructField(
+            f.name,
+            _union_struct(old_by[f.name].dataType, f.dataType)
+            if f.name in old_by else f.dataType,
+            True,
+        )
+        for f in new_t.fields
+    ]
+    fields += [StructField(f.name, f.dataType, True)
+               for f in old_t.fields if f.name not in new_names]
+    return StructType(fields)
+
+
 def _align_to(col, old_t, new_t):
     """Project a column of schema ``old_t`` into schema ``new_t``:
     struct-vs-struct recurses field-by-field (fields absent from the
@@ -288,16 +314,17 @@ def _align_to(col, old_t, new_t):
                 parts.append(F.lit(None).cast(f.dataType).alias(f.name))
         return F.when(col.isNull(), F.lit(None).cast(new_t)).otherwise(
             F.struct(*parts))
-    from pyspark.sql.types import ArrayType, MapType
-
     def _category(t):
         for cls in (StructType, ArrayType, MapType):
             if isinstance(t, cls):
                 return cls
         return "scalar"
 
-    if _category(old_t) != _category(new_t) and (
-            _category(old_t) != "scalar" or _category(new_t) != "scalar"):
+    if isinstance(old_t, NullType):
+        # a void (all-null) backup casts into ANY type while preserving
+        # every (null) value — the refusal below would false-positive
+        return col.try_cast(new_t)
+    if _category(old_t) != _category(new_t):
         # CROSS-category retype (scalar↔struct/array/map, array↔map…)
         # has no value-preserving cast: a conditional stage (e.g.
         # `if [x] { mutate { split ... } }`) retyped the column, and
@@ -353,13 +380,22 @@ def _conditional_merge(df: DataFrame, stage, cond, targets: list[str]) -> DataFr
                 new_t = out.schema[c].dataType
                 old_t = pre.schema[backups[c]].dataType
                 ob = F.col(backups[c])
-                from pyspark.sql.types import ArrayType, MapType
-
                 _complex = (StructType, ArrayType, MapType)
                 if old_t != new_t and (
                     isinstance(old_t, _complex)
                     or isinstance(new_t, _complex)
                 ):
+                    # a stage that DROPPED struct fields (nested
+                    # remove_field) must not erase them for UNMATCHED
+                    # rows: align BOTH sides into the union shape —
+                    # matched rows carry null in the dropped slots
+                    # (the engine's documented per-row-removal
+                    # deviation), unmatched rows keep their values
+                    union_t = _union_struct(old_t, new_t)
+                    if union_t != new_t:
+                        out = out.withColumn(
+                            c, _align_to(F.col(c), new_t, union_t))
+                        new_t = union_t
                     # scalar mismatches (convert double→long) are left
                     # to Spark's own CASE coercion — same as a branch
                     # lowering's unionByName would produce

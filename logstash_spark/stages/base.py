@@ -20,6 +20,7 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from ..fieldref import TAGS_FIELD, field_col, field_name, sprintf_col
 
@@ -76,8 +77,6 @@ def _struct_path_value(dtype, name: str, path: list[str]) -> Column:
     to string (sprintf leaf type), or a null string when the path does
     not fully exist in the schema — used as the type-matched otherwise
     branch of a conditional nested add_field."""
-    from pyspark.sql.types import StructType
-
     cur = dtype
     for p in path:
         if not (isinstance(cur, StructType) and p in cur.fieldNames()):
@@ -108,8 +107,6 @@ def _existing_nonstruct_intermediate(dtype, path: list[str]) -> str | None:
     real value with a vivified struct), or None when every existing
     intermediate is a struct. Missing segments are fine — vivification
     creates them without destroying anything."""
-    from pyspark.sql.types import StructType
-
     cur = dtype
     for p in path[:-1]:
         if not isinstance(cur, StructType):
@@ -157,8 +154,6 @@ def _drop_field_path(df: DataFrame, parts: list[str]) -> DataFrame:
     emptied ancestor chain collapses instead. A map-typed top column
     (``[@metadata][k]``) removes the KEY via map_filter — maps, unlike
     structs, can express per-key absence directly."""
-    from pyspark.sql.types import MapType, StructType
-
     top_t = df.schema[parts[0]].dataType
     if isinstance(top_t, MapType) and len(parts) == 2:
         return df.withColumn(
@@ -203,8 +198,6 @@ def set_field(
     existence IS schema-static, already gated by the caller)."""
     from ..fieldref import _canonical, parse_ref
 
-    from pyspark.sql.types import MapType
-
     parts = _canonical(parse_ref(ref))
     name = parts[0]
     if len(parts) == 1:
@@ -224,6 +217,20 @@ def set_field(
                     f"set {ref!r}: column {name!r} is a map of "
                     f"{top_t.valueType.simpleString()} values — only "
                     "single-level key writes are supported")
+            # refuse a silently-lossy value coercion: storing a
+            # complex value (split's array, a parsed struct) into an
+            # atomic map valueType would round-trip through a string
+            # rendering / null via try_cast (review finding). Resolve
+            # the expression's type at plan time and fail loudly.
+            val_t = df.select(val.alias("__v")).schema[0].dataType
+            if (isinstance(val_t, (ArrayType, MapType, StructType))
+                    and not isinstance(top_t.valueType, type(val_t))):
+                raise ValueError(
+                    f"set {ref!r}: cannot store a "
+                    f"{val_t.simpleString()} value in map values of "
+                    f"type {top_t.valueType.simpleString()} — the "
+                    "typed map cannot hold it; use a struct column or "
+                    "a string rendering explicitly")
             return df.withColumn(name, _map_set_key(
                 F.col(name), top_t, parts[1], val,
                 only_if_present=only_if_present))
@@ -241,8 +248,6 @@ def field_exists(df: DataFrame, ref: str) -> bool:
     schema? (reference ``Event#include?`` at plan time — used for the
     'skip when field missing' discipline of update/convert/coerce)."""
     from ..fieldref import _canonical, parse_ref
-
-    from pyspark.sql.types import MapType
 
     parts = _canonical(parse_ref(ref))
     if parts[0] not in df.columns:
@@ -353,8 +358,6 @@ class Stage:
                 # whole-column write would clobber the siblings and
                 # retype the column (the reference sets only [a][b])
                 if name in out.columns:
-                    from pyspark.sql.types import MapType
-
                     top_t = out.schema[name].dataType
                     if isinstance(top_t, MapType):
                         # map top ([@metadata][k]): key upsert — both
@@ -372,11 +375,34 @@ class Stage:
                             F.when(cond, new).otherwise(F.col(name)))
                         continue
                     if not dict(out.dtypes)[name].startswith("struct"):
+                        if matched is None:
+                            # unconditional: event.set parity — Ruby
+                            # overwrites a non-hash top with a hash,
+                            # exactly like set_field/replace do
+                            out = set_field(out, ref, val)
+                            continue
                         raise ValueError(
                             f"add_field: {ref!r} targets a nested key "
-                            f"but column {name!r} is not a struct")
+                            f"but column {name!r} is not a struct — a "
+                            "conditional write cannot retype it "
+                            "without clobbering unmatched rows")
                     dtype = out.schema[name].dataType
                     if matched is not None:
+                        # an existing COMPLEX leaf cannot survive the
+                        # conditional rewrite: the otherwise branch
+                        # must carry the new (string) leaf type, which
+                        # would stringify unmatched rows' struct/array/
+                        # map values (review finding) — refuse loudly
+                        leaf_t = _struct_leaf_type(dtype, parts[1:])
+                        if isinstance(leaf_t, (ArrayType, MapType,
+                                               StructType)):
+                            raise ValueError(
+                                f"add_field: {ref!r} overwrites an "
+                                f"existing {leaf_t.simpleString()} "
+                                "leaf under a conditional — unmatched "
+                                "rows cannot keep the complex value "
+                                "in the retyped column; remove the "
+                                "field first or write unconditionally")
                         # a conditional write THROUGH an existing
                         # non-struct intermediate would have to vivify
                         # it into a struct on every row — destroying
@@ -430,8 +456,6 @@ class Stage:
                 continue
             if len(parts) > 1:
                 # nested removal: drop ONE key, keep the siblings
-                from pyspark.sql.types import MapType
-
                 top_t = out.schema[name].dataType
                 if isinstance(top_t, MapType) and len(parts) == 2:
                     filtered = _map_drop_key(F.col(name), parts[1])

@@ -111,7 +111,20 @@ class MutateStage(Stage):
                 only_if_present=True)
         return df
 
+    @staticmethod
+    def _map_key_parts(df, parts):
+        """(top, key) when ``parts`` addresses a key of a map-typed top
+        column, else None."""
+        from pyspark.sql.types import MapType
+
+        if (len(parts) == 2 and parts[0] in df.columns
+                and isinstance(df.schema[parts[0]].dataType, MapType)):
+            return parts[0], parts[1]
+        return None
+
     def _op_rename(self, df, arg: dict):
+        from .base import _map_set_key
+
         for old, new in arg.items():
             po = _canonical(parse_ref(old))
             pn = _canonical(parse_ref(new))
@@ -119,6 +132,30 @@ class MutateStage(Stage):
                 raise ValueError(
                     "rename with a list-index ref is not supported: "
                     f"{old!r} => {new!r}")
+            src_mk = self._map_key_parts(df, po)
+            if src_mk is not None:
+                # map-key source: Event#include? is PER ROW — rows
+                # lacking the key must keep their destination untouched
+                # (review finding: the ungated write null-clobbered it)
+                top, key = src_mk
+                has = F.map_contains_key(F.col(top), F.lit(key))
+                sv = field_col(old)
+                dst_mk = self._map_key_parts(df, pn)
+                if dst_mk is not None:
+                    dtop, dkey = dst_mk
+                    upsert = _map_set_key(
+                        F.col(dtop), df.schema[dtop].dataType, dkey, sv)
+                    df = df.withColumn(dtop, F.when(has, upsert)
+                                       .otherwise(F.col(dtop)))
+                else:
+                    cur = (field_col(new) if field_exists(df, new)
+                           else F.lit(None))
+                    df = set_field(df, new, F.when(has, sv).otherwise(cur))
+                if po != pn:
+                    # removing an absent key is a per-row no-op, so the
+                    # unconditional key-drop is already include?-gated
+                    df = _drop_field_path(df, po)
+                continue
             if len(po) == 1 and len(pn) == 1:
                 if po[0] not in df.columns:
                     continue  # mutate.rb: missing source → skip

@@ -875,3 +875,95 @@ def test_conditional_scalar_to_struct_retype_rejected(spark):
     })
     with _pytest.raises(ValueError, match="retypes"):
         pipe.compile(df).collect()
+
+
+def test_conditional_nested_remove_preserves_unmatched_rows(spark):
+    """Review finding: a when-wrapped nested remove_field dropped the
+    struct key from the SCHEMA, erasing unmatched rows' values in the
+    merge. The union alignment must keep them (matched rows carry null
+    — the engine's documented per-row-removal deviation)."""
+    from logstash_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "en", ("b1", "c1")), (2, "de", ("b2", "c2"))],
+        "id int, lang string, a struct<b:string,c:string>")
+    pipe = Pipeline({
+        "id": "t", "filters": [
+            {"when": "[lang] == 'en'",
+             "mutate": {"remove_field": ["[a][b]"]}}],
+    })
+    rows = {r["id"]: r["a"] for r in pipe.compile(df).collect()}
+    assert rows[1]["b"] is None and rows[1]["c"] == "c1"   # matched
+    assert rows[2]["b"] == "b2" and rows[2]["c"] == "c2"   # untouched
+
+
+def test_conditional_add_field_complex_leaf_refused(spark):
+    """Review finding: a matched-gated add_field onto an existing
+    COMPLEX leaf stringified unmatched rows' values via the otherwise
+    cast — must refuse loudly instead."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("dur=5 x", ((1,),))],
+        "message string, a struct<b:struct<x:int>>")
+    with _pytest.raises(ValueError, match="complex value"):
+        apply_stage(df, {"grok": {
+            "match": {"message": r"dur=%{INT:dur}"},
+            "add_field": {"[a][b]": "y"}}}).collect()
+
+
+def test_unconditional_nested_add_field_overwrites_scalar_top(spark):
+    """event.set parity: mutate (matched=None) add_field [a][b] onto a
+    scalar column a overwrites it with a hash — same as replace; the
+    loud refusal is reserved for matched-gated stages."""
+    df = spark.createDataFrame([("plain",)], "a string")
+    out = apply_stage(df, {"mutate": {"add_field": {"[a][b]": "x"}}})
+    assert out.collect()[0]["a"]["b"] == "x"
+
+
+def test_rename_map_key_respects_per_row_presence(spark):
+    """Review finding: rename from [@metadata][k] null-clobbered the
+    destination on rows lacking the key; Event#include? is per row."""
+    df = spark.createDataFrame(
+        [(1, {"k": "v1", "o": "x"}, "d1"), (2, {"o": "y"}, "d2")],
+        "id int, _meta map<string,string>, dest string")
+    out = {r["id"]: r for r in apply_stage(df, {"mutate": {
+        "rename": {"[@metadata][k]": "dest"}}}).collect()}
+    assert out[1]["dest"] == "v1" and out[1]["_meta"] == {"o": "x"}
+    assert out[2]["dest"] == "d2" and out[2]["_meta"] == {"o": "y"}
+    # map-key -> map-key within the same map
+    out2 = {r["id"]: r["_meta"] for r in apply_stage(df, {"mutate": {
+        "rename": {"[@metadata][k]": "[@metadata][k2]"}}}).collect()}
+    assert out2[1] == {"o": "x", "k2": "v1"}
+    assert out2[2] == {"o": "y"}              # no fabricated k2
+
+
+def test_conditional_write_into_void_column_allowed(spark):
+    """Review finding: the cross-category refusal false-positived on a
+    void (all-null) backup, where every value is preserved by cast."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de")], "id int, lang string").withColumn(
+        "x", F.lit(None))
+    pipe = Pipeline({
+        "id": "t", "filters": [
+            {"when": "[lang] == 'en'",
+             "mutate": {"replace": {"[x][y]": "v"}}}],
+    })
+    rows = {r["id"]: r["x"] for r in pipe.compile(df).collect()}
+    assert rows[1]["y"] == "v"
+    assert rows[2] is None
+
+
+def test_split_into_map_value_refused(spark):
+    """Review finding: split through a map key silently stored the
+    STRINGIFIED array via try_cast — refuse loudly instead."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [({"k": "a,b"},)], "_meta map<string,string>")
+    with _pytest.raises(ValueError, match="cannot store"):
+        apply_stage(df, {"mutate": {"split": {"[@metadata][k]": ","}}})
