@@ -28,12 +28,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .fieldref import field_col
+from .fieldref import is_index as _is_index
 
 _TOKEN_RE = re.compile(
     r"""
     \s*(?:
       (?P<field>(?:\[[^\[\]\"',]+\])+)          # [a][b] field ref
-    | (?P<string>'[^']*'|"[^"]*")               # quoted string
+    | (?P<string>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")  # string (\" ok)
     | (?P<regex>/(?:\\.|[^/])*/)                # /regex/
     | (?P<number>-?\d+(?:\.\d+)?)               # number
     | (?P<op>==|!=|<=|>=|=~|!~|<|>)             # comparison ops
@@ -120,6 +121,19 @@ class ConditionParser:
         self.i += 1
         return t
 
+    def _ocol(self, o: _Operand) -> Column:
+        """Operand → Column, lowering a field ref that does NOT resolve
+        in the schema to nil (EventCondition parity: missing fields
+        compare as nil and route to the else branch — resolving the
+        column would instead fail analysis and kill the run; the class
+        docstring's `[missing] != 'debug'` idiom depends on this).
+        Without a schema (df=None) refs resolve optimistically as
+        before."""
+        if (o.kind == "field" and self.df is not None
+                and self._dtype(o.value) is None):
+            return F.lit(None)
+        return o.col()
+
     def _dtype(self, ref: str) -> str | None:
         """Resolved LEAF type of a (possibly nested) field ref — the
         try_cast coercion guard and the truthiness lowering must see the
@@ -146,7 +160,7 @@ class ConditionParser:
                 if sub is None:
                     return None
                 cur = sub.dataType
-            elif isinstance(cur, T.ArrayType) and p.isdigit():
+            elif isinstance(cur, T.ArrayType) and _is_index(p):
                 cur = cur.elementType
             elif isinstance(cur, T.MapType):
                 cur = cur.valueType
@@ -202,7 +216,11 @@ class ConditionParser:
         if t.kind == "field":
             return _Operand("field", t.text)
         if t.kind == "string":
-            return _Operand("str", t.text[1:-1])
+            q = t.text[0]
+            # grammar-level unescape: only the QUOTE char (\" / \') —
+            # other backslashes stay verbatim (support_escapes=false
+            # default, the same stance lscl.py takes for config strings)
+            return _Operand("str", t.text[1:-1].replace("\\" + q, q))
         if t.kind == "number":
             v = float(t.text) if "." in t.text else int(t.text)
             return _Operand("num", v)
@@ -231,7 +249,7 @@ class ConditionParser:
         null, the EMPTY STRING, and the string "false" (hence boolean
         false via toString) are falsy; everything else (including 0)
         is truthy."""
-        col = op.col()
+        col = self._ocol(op)
         if op.kind == "field":
             dt = self._dtype(op.value)
             if dt == "boolean":
@@ -258,13 +276,21 @@ class ConditionParser:
         op = tok.text
         if op in ("=~", "!~"):
             right = self._operand()
-            pat = right.value if right.kind in ("regex", "str") else str(right.value)
+            if right.kind not in ("regex", "str"):
+                # the LSCL grammar only allows a string/regexp RHS; a
+                # field ref here would silently use its ref TEXT as
+                # the pattern (a character class) — reject like the
+                # reference's config loader does
+                raise ValueError(
+                    f"{op} right operand must be a string or /regex/ "
+                    f"literal, got {right.kind}")
+            pat = right.value
             # Logstash =~ is a *search*, not a full match → rlike semantics match.
-            matched = left.col().rlike(pat)
+            matched = self._ocol(left).rlike(pat)
             # nil =~ /x/ is false, so nil !~ /x/ is TRUE (Ruby/RegexEq)
             return ~_false_if_null(matched) if op == "!~" else matched
         right = self._operand()
-        lc, rc = left.col(), right.col()
+        lc, rc = self._ocol(left), self._ocol(right)
         # static numeric coercion: string field vs number literal.
         # try_cast: a non-numeric string compares as null (condition
         # false), never an ANSI throw — EventCondition's dynamic compare
@@ -289,14 +315,18 @@ class ConditionParser:
         # value in list → isin; value in string-field → substring;
         # value in array-field → array_contains (EventCondition.Compiler#in).
         if right.kind == "list":
-            return left.col().isin(*right.value)
+            return self._ocol(left).isin(*right.value)
         if right.kind == "field":
             dt = self._dtype(right.value) or ""
             if dt.startswith("array"):
-                return F.array_contains(right.col(), left.col())
-            return right.col().contains(left.col())
+                return F.array_contains(self._ocol(right), self._ocol(left))
+            if dt.startswith("map"):
+                # Ruby Hash#include? checks KEYS ('k' in [@metadata])
+                return F.map_contains_key(
+                    self._ocol(right), self._ocol(left))
+            return self._ocol(right).contains(self._ocol(left))
         if right.kind == "str":
-            return F.lit(right.value).contains(left.col())
+            return F.lit(right.value).contains(self._ocol(left))
         raise ValueError("unsupported 'in' right operand")
 
 

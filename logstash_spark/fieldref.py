@@ -59,15 +59,44 @@ def _canonical(parts: list[str]) -> list[str]:
     return parts
 
 
+_INDEX_RE = re.compile(r"-?[0-9]+")
+
+
+def is_index(seg: str) -> bool:
+    """Is this path segment a list index (optionally negative, ASCII
+    digits only — unicode digit-likes are map/struct KEYS)?"""
+    return bool(_INDEX_RE.fullmatch(seg))
+
+
+def _quoted_top(name: str) -> Column:
+    """Top-level column ref, backtick-quoted when the NAME itself
+    contains dots/backticks (k8s labels, ECS dotted names — the
+    reason de_dot exists): bare ``F.col('host.name')`` would resolve
+    as a nested path and fail."""
+    if "." in name or "`" in name:
+        return F.col("`" + name.replace("`", "``") + "`")
+    return F.col(name)
+
+
 def field_col(ref: str) -> Column:
     """Field reference → Column. Nested path = struct/map access chain."""
     parts = _canonical(parse_ref(ref))
-    col = F.col(parts[0])
+    if parts[0] == METADATA_FIELD and len(parts) == 2:
+        # the canonical metadata column is a MAP: every key — including
+        # an all-digit one — is a string KEY lookup, never a list index
+        return F.col(METADATA_FIELD).getItem(parts[1])
+    col = _quoted_top(parts[0])
     for p in parts[1:]:
-        # numeric path element = 0-based list index (FieldReference
-        # semantics). F.get, not getItem: out-of-bounds yields null
-        # instead of an ANSI INVALID_ARRAY_INDEX throw.
-        col = F.get(col, int(p)) if p.isdigit() else col.getField(p)
+        if _INDEX_RE.fullmatch(p):
+            # numeric path element = 0-based list index (FieldReference
+            # semantics); negative = from the end, Ruby-style. F.get is
+            # 0-based but rejects negatives; element_at is 1-based with
+            # -1 = last. Both yield null out-of-bounds (never an ANSI
+            # INVALID_ARRAY_INDEX throw).
+            i = int(p)
+            col = F.get(col, i) if i >= 0 else F.element_at(col, i)
+        else:
+            col = col.getField(p)
     return col
 
 
@@ -108,7 +137,17 @@ def _joda_to_java(fmt: str) -> str:
             out.append(seg)
             continue
         seg = _re.sub(r"Y+", lambda m: "y" * len(m.group()), seg)
-        seg = _re.sub(r"x+", lambda m: "Y" * len(m.group()), seg)
+        if "x" in seg:
+            # Joda weekyear. java.time spells it 'Y' — but Spark 3+
+            # REJECTS week-based pattern letters outright
+            # (DATETIME_PATTERN_RECOGNITION at first execution), so a
+            # translation would compile a pattern that can never run.
+            # Refuse at plan time with the real reason instead.
+            raise ValueError(
+                f"Joda weekyear pattern 'x' in {fmt!r} is not "
+                "supportable: Spark 3+ removed week-based fields from "
+                "java.time pattern strings; use calendar year 'y' or "
+                "derive the ISO week-year as a column expression")
         out.append(_re.sub(r"Z+", _z, seg))
     return "".join(out)
 
@@ -129,7 +168,12 @@ def sprintf_col(template: str, ts_field: str = TIMESTAMP_FIELD) -> Column:
             pieces.append(F.lit(template[pos : m.start()]))
         token = m.group(1)
         if token.startswith("+"):
-            pieces.append(F.date_format(F.col(ts_field), _joda_to_java(token[1:])))
+            # null-coalesced like the field branch: a null timestamp
+            # must not null-propagate through concat and erase the
+            # ENTIRE template (review finding)
+            pieces.append(F.coalesce(
+                F.date_format(F.col(ts_field), _joda_to_java(token[1:])),
+                F.lit("")))
         else:
             pieces.append(F.coalesce(field_col(token).cast("string"), F.lit("")))
         pos = m.end()

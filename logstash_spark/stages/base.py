@@ -22,7 +22,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, MapType, StructType
 
-from ..fieldref import TAGS_FIELD, field_col, field_name, sprintf_col
+from ..fieldref import (
+    TAGS_FIELD, field_col, field_name, is_index, sprintf_col,
+)
 
 STAGE_REGISTRY: dict[str, type["Stage"]] = {}
 
@@ -202,7 +204,7 @@ def set_field(
     name = parts[0]
     if len(parts) == 1:
         return df.withColumn(name, val)
-    if any(p.isdigit() for p in parts[1:]):
+    if any(is_index(p) for p in parts[1:]):
         raise ValueError(
             f"set into a list index is not supported: {ref!r}")
     if name in df.columns:
@@ -254,7 +256,7 @@ def field_exists(df: DataFrame, ref: str) -> bool:
         return False
     if len(parts) == 1:
         return True
-    if any(p.isdigit() for p in parts[1:]):
+    if any(is_index(p) for p in parts[1:]):
         # list index: existence is per-row, not schema-static — treat
         # the path as present iff the array column resolves
         return True

@@ -11,7 +11,9 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..fieldref import _canonical, field_col, field_name, parse_ref, sprintf_col
+from ..fieldref import (
+    _canonical, field_col, field_name, is_index, parse_ref, sprintf_col,
+)
 from .base import (
     Stage, _drop_field_path, _struct_leaf_type, field_exists, register,
     set_field,
@@ -28,7 +30,7 @@ def _leaf_dtype(df: DataFrame, ref: str):
     t = df.schema[parts[0]].dataType
     if len(parts) == 1:
         return t
-    if any(p.isdigit() for p in parts[1:]):
+    if any(is_index(p) for p in parts[1:]):
         return None
     if isinstance(t, MapType):
         return t.valueType if len(parts) == 2 else None
@@ -128,7 +130,7 @@ class MutateStage(Stage):
         for old, new in arg.items():
             po = _canonical(parse_ref(old))
             pn = _canonical(parse_ref(new))
-            if any(p.isdigit() for p in po[1:] + pn[1:]):
+            if any(is_index(p) for p in po[1:] + pn[1:]):
                 raise ValueError(
                     "rename with a list-index ref is not supported: "
                     f"{old!r} => {new!r}")

@@ -128,3 +128,65 @@ def test_string_field_numeric_coercion(spark):
     assert sorted(
         r.id for r in df2.filter(compile_condition("[n] > 10", df2)).collect()
     ) == [1]
+
+
+def test_missing_field_condition_is_nil_not_analysis_error(spark):
+    """Review finding: a ref absent from the schema must evaluate as
+    nil (reference: route to the else branch), not UNRESOLVED_COLUMN.
+    The module's documented `[missing] != 'debug'` drop-debug idiom
+    depends on it."""
+    from logstash_spark.conditions import compile_condition
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, msg string")
+    kept = df.filter(compile_condition("[level] != 'debug'", df)).count()
+    assert kept == 2                         # nil != 'debug' is TRUE
+    assert df.filter(compile_condition("[level] == 'debug'", df)).count() == 0
+    assert df.filter(compile_condition("[level]", df)).count() == 0
+    assert df.filter(compile_condition("![level]", df)).count() == 2
+    assert df.filter(compile_condition(
+        "'x' in [level]", df)).count() == 0
+    assert df.filter(compile_condition(
+        "[msg] == 'a' and [nope][deep] == 'x'", df)).count() == 0
+
+
+def test_in_on_map_field_checks_keys(spark):
+    """Ruby Hash#include? checks KEYS: 'k' in [@metadata]."""
+    from logstash_spark.conditions import compile_condition
+
+    df = spark.createDataFrame(
+        [(1, {"token": "t"}), (2, {"other": "x"})],
+        "id int, _meta map<string,string>")
+    got = [r["id"] for r in df.filter(
+        compile_condition("'token' in [@metadata]", df)).collect()]
+    assert got == [1]
+    got2 = [r["id"] for r in df.filter(
+        compile_condition("'token' not in [@metadata]", df)).collect()]
+    assert got2 == [2]
+
+
+def test_regex_match_rejects_field_rhs(spark):
+    """The LSCL grammar only allows string/regexp on the right of =~;
+    a field ref used to become a character-class pattern silently."""
+    import pytest as _pytest
+
+    from logstash_spark.conditions import compile_condition
+
+    df = spark.createDataFrame([("x", "y")], "message string, pat string")
+    with _pytest.raises(ValueError, match="right operand"):
+        compile_condition("[message] =~ [pat]", df)
+
+
+def test_escaped_quotes_in_condition_strings(spark):
+    """LSCL accepts \\" inside double-quoted strings (and \\' in
+    single); the tokenizer must not stop at the inner quote."""
+    from logstash_spark.conditions import compile_condition
+
+    df = spark.createDataFrame(
+        [(1, 'say "hi"'), (2, "plain")], "id int, msg string")
+    got = [r["id"] for r in df.filter(compile_condition(
+        '[msg] == "say \\"hi\\""', df)).collect()]
+    assert got == [1]
+    # other backslashes stay verbatim (support_escapes=false stance)
+    df2 = spark.createDataFrame([(1, "a\\nb")], "id int, msg string")
+    assert df2.filter(compile_condition(
+        '[msg] == "a\\nb"', df2)).count() == 1

@@ -967,3 +967,39 @@ def test_split_into_map_value_refused(spark):
         [({"k": "a,b"},)], "_meta map<string,string>")
     with _pytest.raises(ValueError, match="cannot store"):
         apply_stage(df, {"mutate": {"split": {"[@metadata][k]": ","}}})
+
+
+def test_field_col_negative_index_and_metadata_digit_key(spark):
+    """Review findings: [arr][-1] reads the LAST element (reference
+    relative indexing); an all-digit key of the map-typed [@metadata]
+    is a KEY lookup, never an array index; a dotted top-level column
+    name resolves as itself, not as a nested path."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.fieldref import field_col
+
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], {"0": "zero"}, "dotted")],
+        "arr array<string>, _meta map<string,string>, `host.name` string")
+    r = df.select(
+        field_col("[arr][-1]").alias("last"),
+        field_col("[arr][0]").alias("first"),
+        field_col("[arr][5]").alias("oob"),
+        field_col("[@metadata][0]").alias("mk"),
+        field_col("[host.name]").alias("dotted"),
+    ).collect()[0]
+    assert r["last"] == "c" and r["first"] == "a" and r["oob"] is None
+    assert r["mk"] == "zero"
+    assert r["dotted"] == "dotted"
+
+
+def test_sprintf_null_timestamp_keeps_template(spark):
+    """Review finding: a null event_ts nulled the WHOLE template via
+    concat propagation — the date piece must coalesce to '' like the
+    field pieces do."""
+    from logstash_spark.fieldref import sprintf_col
+
+    df = spark.createDataFrame(
+        [(1, None)], "id int, event_ts timestamp")
+    r = df.select(sprintf_col("logs-%{+yyyy.MM.dd}-%{id}").alias("x"))
+    assert r.collect()[0]["x"] == "logs--1"

@@ -346,13 +346,22 @@ def test_joda_zone_tokens_translate_length_matched():
     'ZZ'→'XXX' substring replace mangled 'ZZZ' into 'XXXZ'):
     Z→Z (+0100), ZZ→xxx (+01:00, never the bare 'Z' java XXX emits at
     UTC — Joda ZZ prints +00:00), ZZZ+→VV (zone id). Quoted literals
-    pass through; Y-runs (Joda era-year) → y; x (Joda weekyear) → Y."""
+    pass through; Y-runs (Joda era-year) → y; x (Joda weekyear) is a
+    loud plan-time error — Spark 3+ removed week-based pattern letters,
+    so the old x→Y translation compiled a pattern that THREW
+    DATETIME_PATTERN_RECOGNITION on first execution (review finding)."""
+    import pytest as _pytest
+
     from logstash_spark.fieldref import _joda_to_java
 
     assert _joda_to_java("yyyy-MM-dd Z") == "yyyy-MM-dd Z"
     assert _joda_to_java("yyyy-MM-dd ZZ") == "yyyy-MM-dd xxx"
     assert _joda_to_java("yyyy-MM-dd ZZZ") == "yyyy-MM-dd VV"
-    assert _joda_to_java("xxxx-'W'ww Y") == "YYYY-'W'ww y"
+    assert _joda_to_java("'W'ww Y") == "'W'ww y"
+    with _pytest.raises(ValueError, match="weekyear"):
+        _joda_to_java("xxxx-'W'ww")
+    # 'x' inside a quoted literal is fine
+    assert _joda_to_java("'approx' yyyy") == "'approx' yyyy"
     # quoted literal containing Z stays verbatim
     assert _joda_to_java("'Zulu 'HH ZZ") == "'Zulu 'HH xxx"
 
