@@ -25,7 +25,21 @@ from pathlib import Path
 
 class CheckpointManifest:
     def __init__(self, run_dir: str | Path):
-        self.dir = Path(run_dir) / "_checkpoints"
+        rd = str(run_dir)
+        if "://" in rd and not rd.startswith("file://"):
+            # pathlib would silently collapse 's3://bucket/x' into a
+            # LOCAL './s3:/bucket/x' directory, divorcing the ack
+            # manifest from the data it acks (review finding) — refuse
+            # loudly; cluster deployments put the manifest on shared
+            # local/NFS storage or a file:// mount
+            raise ValueError(
+                f"checkpoint manifest requires a local run_dir, got "
+                f"{rd!r}; remote-object-store manifests are not "
+                "supported (sink data may be remote — the manifest "
+                "must be driver-local)")
+        if rd.startswith("file://"):
+            rd = rd[len("file://"):]
+        self.dir = Path(rd) / "_checkpoints"
         self.dir.mkdir(parents=True, exist_ok=True)
 
     def _path(self, batch_id: int) -> Path:
@@ -42,12 +56,28 @@ class CheckpointManifest:
         return out
 
     def ack(self, batch_id: int, entry: dict) -> None:
-        """Atomic manifest commit: write temp then rename (POSIX rename
-        is atomic — a crash never leaves a half-acked batch)."""
+        """Atomic, durable manifest commit: write temp, fsync, then
+        os.replace (atomic on POSIX AND overwrites an existing torn
+        file — plain rename raises FileExistsError on non-POSIX when a
+        previous crash left a garbage ack behind). A best-effort
+        directory fsync pins the rename itself."""
+        import os
+
         entry = {"batch_id": batch_id, **entry}
         tmp = self._path(batch_id).with_suffix(".tmp")
-        tmp.write_text(json.dumps(entry, sort_keys=True))
-        tmp.rename(self._path(batch_id))
+        with open(tmp, "w") as f:
+            f.write(json.dumps(entry, sort_keys=True))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._path(batch_id))
+        try:
+            dfd = os.open(self.dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass  # directory fsync unsupported on this platform
 
     def reset(self) -> None:
         for p in self.dir.glob("batch-*.json"):

@@ -247,13 +247,23 @@ _FILTER_ARG_RENAMES = {
     "kv": {"target": "target"},
 }
 
+def _pathsafe(name: str) -> str:
+    """Sink names are single path segments under run_dir (Router
+    validates); flatten user-supplied paths/indices the same way for
+    EVERY namer — the csv namer used to pass '../x' through verbatim,
+    turning the fresh-run rmtree into a delete OUTSIDE run_dir."""
+    return name.strip("/").replace("\\", "_").replace("/", "_").replace(
+        "..", "_") or "sink"
+
+
 _SINK_NAMERS = {
-    "elasticsearch": lambda a: a.get("index", "elasticsearch"),
-    "file": lambda a: a.get("path", "file").strip("/").replace("/", "_"),
+    "elasticsearch": lambda a: _pathsafe(a.get("index", "elasticsearch")),
+    "file": lambda a: _pathsafe(a.get("path", "file")),
     "stdout": lambda a: "stdout",
-    "csv": lambda a: a.get("path", "csv"),
-    "iceberg": lambda a: a.get("table", "iceberg").replace(".", "_"),
-    "kafka": lambda a: a.get("topic_id", "kafka"),
+    "csv": lambda a: _pathsafe(a.get("path", "csv")),
+    "iceberg": lambda a: _pathsafe(
+        a.get("table", "iceberg").replace(".", "_")),
+    "kafka": lambda a: _pathsafe(a.get("topic_id", "kafka")),
 }
 
 

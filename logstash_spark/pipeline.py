@@ -171,6 +171,7 @@ class Pipeline:
             # a different n_buckets/n_batches/bucket_on would silently
             # skip work (e.g. a 4-batch run resumed as 1 batch skips
             # everything because batch 0 is acked)
+            src_now = _describe_source(source)
             for bid, entry in sorted(completed.items()):
                 expect = groups[bid] if bid < len(groups) else None
                 got = entry.get("buckets")
@@ -184,6 +185,20 @@ class Pipeline:
                         f"n_batches={n_batches}, bucket_on={bucket_on!r}) "
                         f"expects {expect} — resume with the original "
                         "parameters, or start fresh (resume=False)")
+                # the manifest records per-batch input lineage — an
+                # acked batch from a DIFFERENT input must not be
+                # skipped (the sinks would silently mix two inputs).
+                # In-memory sources carry no stable identity; only
+                # file-backed identities are comparable.
+                src_was = entry.get("lineage", {}).get("source")
+                if (src_was and src_was != "in-memory"
+                        and src_now != "in-memory" and src_was != src_now):
+                    raise ValueError(
+                        f"resume: manifest batch {bid} was produced "
+                        f"from {src_was!r} but this run reads "
+                        f"{src_now!r} — skipping it would mix two "
+                        "inputs in the sinks; resume with the original "
+                        "input, or start fresh (resume=False)")
 
         total = PipelineMetrics(self.id)
         stage_tags = self._stage_failure_tags()
@@ -225,7 +240,9 @@ class Pipeline:
                 # counts (fills the cache; separate count() jobs removed)
                 filtered_count, failure_counts = _failure_census(routed, stage_tags)
                 in_count = int(obs.get["events_in"])
-                sink_counts = self.router.write_batch(routed, run_dir)
+                sink_counts = self.router.write_batch(
+                    routed, run_dir,
+                    truncate_tables=(not resume) and batch_id == 0)
             finally:
                 routed.unpersist()
                 self.release_branch_caches()

@@ -130,7 +130,15 @@ def kafka_sink_frame(branch: DataFrame, sink: SinkSpec) -> tuple[DataFrame, dict
     payload = [c for c in branch.columns if c not in (METADATA_FIELD, "bucket")]
     cols = [F.to_json(F.struct(*payload)).alias("value")]
     if key_field:
-        cols.insert(0, F.col(key_field).cast("string").alias("key"))
+        # logstash-output-kafka message_key is a SPRINTF template
+        # ('%{request_id}') or a field reference ('[user][id]') — a raw
+        # F.col would treat either spelling as a literal flat column
+        # name and fail analysis (review finding)
+        from .fieldref import field_col, sprintf_col
+
+        key = (sprintf_col(key_field) if "%{" in key_field
+               else field_col(key_field))
+        cols.insert(0, key.cast("string").alias("key"))
     return branch.select(*cols), opts
 
 
@@ -222,19 +230,32 @@ def _rubydebug_render(row) -> str:
     return "{\n" + ",\n".join(lines) + "\n}"
 
 
+_DEBUG_STDOUT_LOCK = None
+
+
 def _write_debug_stdout(branch: DataFrame, fmt: str) -> int:
     import sys
+    import threading
 
+    # the sink fan-out runs concurrently; two debug sinks interleaving
+    # mid-event would garble the exact bring-up output these codecs
+    # exist for (review finding) — serialize stdout across them
+    global _DEBUG_STDOUT_LOCK
+    if _DEBUG_STDOUT_LOCK is None:
+        _DEBUG_STDOUT_LOCK = threading.Lock()
     if fmt == "dots":
         n = branch.count()
-        sys.stdout.write("." * n)
-        sys.stdout.flush()
+        with _DEBUG_STDOUT_LOCK:
+            sys.stdout.write("." * n)
+            sys.stdout.flush()
         return n
+    rows = branch.toLocalIterator()
     n = 0
-    for row in branch.toLocalIterator():
-        sys.stdout.write(_rubydebug_render(row) + "\n")
-        n += 1
-    sys.stdout.flush()
+    with _DEBUG_STDOUT_LOCK:
+        for row in rows:
+            sys.stdout.write(_rubydebug_render(row) + "\n")
+            n += 1
+        sys.stdout.flush()
     return n
 
 
@@ -248,6 +269,24 @@ class Router:
             # under run_dir — duplicates mean concurrent same-path
             # writes clobbering each other and counts silently collapsed
             raise ValueError(f"duplicate sink names {dupes}")
+        for n in names:
+            # the name is a single path segment under run_dir AND the
+            # target of the fresh-run rmtree hygiene — a separator or
+            # '..' would write (and DELETE) outside the run directory
+            # (review finding), and 'a' vs 'a/b' would nest sinks past
+            # the duplicate guard
+            if "/" in n or "\\" in n or n in ("", ".", ".."):
+                raise ValueError(
+                    f"sink name {n!r} must be a single path segment "
+                    "(no separators or dot-dirs)")
+        tables = [s.table for s in self.sinks if s.table]
+        tdupes = sorted({t for t in tables if tables.count(t) > 1})
+        if tdupes:
+            # two sinks writing ONE table race tableExists→create and
+            # their dynamic-overwrite commits erase each other's buckets
+            raise ValueError(
+                f"multiple sinks write the same table(s) {tdupes}; "
+                "give them distinct tables or merge the branches")
 
     def branch(self, df: DataFrame, sink: SinkSpec) -> DataFrame:
         if sink.dlq:
@@ -271,7 +310,8 @@ class Router:
         return branch
 
     def write_batch(
-        self, df: DataFrame, run_dir: str, mode: str = "overwrite"
+        self, df: DataFrame, run_dir: str, mode: str = "overwrite",
+        truncate_tables: bool = False,
     ) -> dict[str, int]:
         """Write every sink branch of an (already persisted) batch.
 
@@ -312,6 +352,16 @@ class Router:
             obs = Observation(f"sink_{sink.name}")
             branch = branch.observe(obs, F.count(F.lit(1)).alias("n"))
             if sink.table:
+                if truncate_tables and df.sparkSession.catalog.tableExists(
+                        sink.table):
+                    # fresh-run hygiene (the table analog of the path
+                    # sinks' rmtree): dynamic partition overwrite only
+                    # replaces buckets that receive rows, so a FRESH
+                    # run over different data would otherwise serve a
+                    # mix of this run's and the previous run's
+                    # partitions (review finding). TRUNCATE works on
+                    # both v1 session-catalog and v2/Iceberg tables.
+                    df.sparkSession.sql(f"TRUNCATE TABLE {sink.table}")
                 _write_catalog_table(branch, sink, mode)
             elif sink.fmt == "kafka":
                 frame, opts = kafka_sink_frame(branch, sink)

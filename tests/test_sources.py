@@ -673,3 +673,111 @@ def test_es_input_wildcard_is_exact_value_anchored(spark):
     df = resolve_input(spark, "elasticsearch", {
         "snapshot_df": snap, "query": {"wildcard": {"user": "b*b"}}})
     assert [r._id for r in df.collect()] == ["d1"]
+
+
+def test_router_rejects_unsafe_sink_names_and_dup_tables(spark):
+    """Review findings: a sink name with separators writes (and fresh-
+    run rmtree DELETES) outside run_dir; two sinks on one table race
+    create() and erase each other's dynamic-overwrite commits."""
+    from logstash_spark.lscl import _pathsafe
+    from logstash_spark.router import Router, SinkSpec
+
+    for bad in ("a/b", "..", "", "a\\b"):
+        with pytest.raises(ValueError, match="path segment"):
+            Router([SinkSpec(name=bad)])
+    with pytest.raises(ValueError, match="same table"):
+        Router([SinkSpec(name="a", table="t"), SinkSpec(name="b", table="t")])
+    # the lscl namers flatten user paths into safe segments
+    assert "/" not in _pathsafe("../shared/out.csv")
+    assert ".." not in _pathsafe("../shared/out.csv")
+    assert _pathsafe("/rest") == "rest"
+
+
+def test_kafka_message_key_sprintf_and_field_ref(spark):
+    """logstash-output-kafka message_key is a sprintf template or a
+    field reference — not a raw flat column name (review finding)."""
+    import json as _json
+
+    from logstash_spark.router import SinkSpec, kafka_sink_frame
+
+    df = spark.createDataFrame(
+        [("u1", ("id9",))], "url string, user struct<id:string>")
+    base = {"kafka.bootstrap.servers": "k", "topic": "t"}
+    f1, _ = kafka_sink_frame(df, SinkSpec(
+        name="s", fmt="kafka",
+        options=dict(base, message_key="%{url}-%{[user][id]}")))
+    assert f1.collect()[0]["key"] == "u1-id9"
+    f2, _ = kafka_sink_frame(df, SinkSpec(
+        name="s", fmt="kafka", options=dict(base, message_key="[user][id]")))
+    assert f2.collect()[0]["key"] == "id9"
+
+
+def test_checkpoint_manifest_rejects_remote_uri_and_survives_torn_ack(tmp_path):
+    """Review findings: pathlib mangles s3:// run_dirs into local
+    directories (divorcing the manifest from its data) — refuse loudly;
+    and ack over a torn (garbage) file must replace it, not raise."""
+    from logstash_spark.checkpoint import CheckpointManifest
+
+    with pytest.raises(ValueError, match="local run_dir"):
+        CheckpointManifest("s3://bucket/run1")
+    m = CheckpointManifest(f"file://{tmp_path}/run")
+    assert (tmp_path / "run" / "_checkpoints").is_dir()
+    # torn ack from a crashed run: garbage file where the ack lands
+    torn = m._path(3)
+    torn.write_text("{gar")  # not JSON
+    assert 3 not in m.completed_batches()  # correctly unacked
+    m.ack(3, {"buckets": [1]})  # replace, not FileExistsError
+    assert m.completed_batches()[3]["buckets"] == [1]
+
+
+def test_fresh_run_truncates_stale_table_partitions(spark):
+    """Review finding: dynamic overwrite only replaces buckets that
+    receive rows — a FRESH run's table sink must not serve a mix of
+    this run's and the previous run's partitions."""
+    from logstash_spark.router import Router, SinkSpec
+
+    spark.sql("DROP TABLE IF EXISTS ls_fresh_out")
+    router = Router([SinkSpec(name="out", table="ls_fresh_out")])
+    run1 = spark.createDataFrame(
+        [("old1", 0), ("old2", 7)], "url string, bucket int").persist()
+    run2 = spark.createDataFrame(
+        [("new1", 0)], "url string, bucket int").persist()
+    try:
+        router.write_batch(run1, run_dir="/tmp/unused",
+                           truncate_tables=True)
+        assert spark.table("ls_fresh_out").count() == 2
+        # fresh run whose rows only touch bucket 0: bucket 7 must go
+        router.write_batch(run2, run_dir="/tmp/unused",
+                           truncate_tables=True)
+        urls = [r.url for r in spark.table("ls_fresh_out").collect()]
+        assert urls == ["new1"]
+        # resume-style re-run (no truncate): idempotent per bucket
+        router.write_batch(run2, run_dir="/tmp/unused")
+        assert spark.table("ls_fresh_out").count() == 1
+    finally:
+        run1.unpersist()
+        run2.unpersist()
+        spark.sql("DROP TABLE IF EXISTS ls_fresh_out")
+
+
+def test_resume_rejects_different_source(spark, tmp_path):
+    """Review finding: an acked batch from a DIFFERENT input must not
+    be skipped — the sinks would silently mix two inputs."""
+    from logstash_spark.pipeline import Pipeline
+
+    src_a = str(tmp_path / "in_a")
+    src_b = str(tmp_path / "in_b")
+    for p, tag in ((src_a, "a"), (src_b, "b")):
+        spark.createDataFrame(
+            [(f"u{tag}{i}", tag) for i in range(4)],
+            "url string, v string").write.parquet(p)
+    run_dir = str(tmp_path / "run")
+    pipe = Pipeline({"id": "t", "filters": [],
+                     "outputs": [{"name": "out"}]})
+    pipe.run(spark.read.parquet(src_a), run_dir, n_buckets=4, n_batches=2)
+    with pytest.raises(ValueError, match="mix two inputs"):
+        pipe.run(spark.read.parquet(src_b), run_dir,
+                 n_buckets=4, n_batches=2, resume=True)
+    # same source resumes fine
+    pipe.run(spark.read.parquet(src_a), run_dir,
+             n_buckets=4, n_batches=2, resume=True)
